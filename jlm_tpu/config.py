@@ -1,0 +1,179 @@
+"""Experiment configuration.
+
+TPU-native analogue of the reference's cross-cutting config module
+(ref: JLM:config.py — hyperparams, paths, softmax-variant flags; see
+SURVEY.md §3.1).  One frozen dataclass covers model dims, output-head
+variant, quantization, decoding, training, and mesh shape; the five
+BASELINE.json benchmark configs are expressed as presets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Sequence, Tuple
+
+# Special token ids.  Vocab ids are frequency-ordered AFTER the specials
+# (ref: SURVEY.md §4.1 — frequency order is load-bearing for D-softmax
+# block membership; specials sit at the front and are high-frequency anyway).
+EOS_ID = 0
+UNK_ID = 1
+NUM_SPECIALS = 2
+EOS_TOKEN = "<eos>"
+UNK_TOKEN = "<unk>"
+
+
+@dataclasses.dataclass(frozen=True)
+class DSoftmaxConfig:
+    """Differentiated-softmax output-head segmentation (SURVEY.md §4.4).
+
+    The vocabulary (frequency-ordered) is split into ``len(block_sizes)``
+    blocks; block k has ``block_sizes[k]`` words projected from
+    ``block_dims[k]`` hidden dims.  ``mode``:
+
+    - ``"prefix"``  — D-softmax*: every block projects from the *prefix*
+      slice ``h[:d_k]`` of the hidden state (the reference's variant).
+    - ``"disjoint"``— original D-softmax: block k projects from its own
+      disjoint segment of ``h``.
+
+    Both rules are kept behind this flag because the reference's exact rule
+    is [C-med] in SURVEY.md §4.4.
+    """
+
+    block_sizes: Tuple[int, ...]
+    block_dims: Tuple[int, ...]
+    mode: str = "prefix"  # "prefix" (D-softmax*) | "disjoint" (D-softmax)
+
+    def __post_init__(self):
+        assert len(self.block_sizes) == len(self.block_dims)
+        assert self.mode in ("prefix", "disjoint")
+        if self.mode == "disjoint":
+            # Disjoint segments must fit in the hidden vector end to end.
+            pass
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # --- model (SURVEY.md §4.2) ---
+    vocab_size: int = 50_000
+    embed_size: int = 256
+    hidden_size: int = 512
+    num_layers: int = 1
+    forget_bias: float = 1.0  # standard LSTM forget-gate bias init offset
+
+    # --- output head ---
+    head: str = "full"  # "full" | "dsoftmax"
+    dsoftmax: Optional[DSoftmaxConfig] = None
+
+    # --- quantization (SURVEY.md §4.3) ---
+    quantize: bool = False  # int8 symmetric per-column weights + fp32 scale
+
+    # --- decoding (SURVEY.md §4.5-4.7) ---
+    beam_width: int = 10
+    max_word_len: int = 5       # max reading length considered in the lattice
+    max_kana_len: int = 62      # T_max: static frame count for the device scan
+    max_nodes_per_frame: int = 16   # N_max: padded nodes ending at a position
+    max_lookahead: int = 64     # C_max: padded candidate words starting at a position
+
+    # --- training (SURVEY.md §4.8) ---
+    batch_size: int = 32
+    num_steps: int = 32         # truncated-BPTT window
+    learning_rate: float = 1e-3
+    lr_decay: float = 0.8       # multiplicative decay per epoch after decay_start
+    lr_decay_start_epoch: int = 4
+    max_grad_norm: float = 5.0
+    epochs: int = 8
+    sampled_softmax_samples: int = 0  # >0 => sampled-softmax training loss
+    param_dtype: str = "float32"
+
+    # --- parallelism (SURVEY.md §3.3) ---
+    mesh_data: int = 1    # data-parallel axis size (independent lattices/batches)
+    mesh_vocab: int = 1   # vocab (tensor) parallel axis size
+
+    # --- misc ---
+    seed: int = 0
+
+    @property
+    def beam_pad(self) -> int:
+        """Beam width padded to a TPU-friendly multiple of 8."""
+        return max(8, -(-self.beam_width // 8) * 8)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        return json.dumps(d, indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        d = json.loads(s)
+        if d.get("dsoftmax"):
+            ds = d["dsoftmax"]
+            d["dsoftmax"] = DSoftmaxConfig(
+                block_sizes=tuple(ds["block_sizes"]),
+                block_dims=tuple(ds["block_dims"]),
+                mode=ds["mode"],
+            )
+        return Config(**d)
+
+
+def default_dsoftmax_blocks(vocab_size: int, hidden_size: int) -> DSoftmaxConfig:
+    """Frequency-tiered default split, Chen et al.-style (SURVEY.md §4.4).
+
+    ~16% of the vocab (most frequent) gets the full hidden dim, the next
+    ~34% gets half, the rarest ~50% a quarter — e.g. 100k → [16k@H,
+    34k@H/2, 50k@H/4].  Dims are kept multiples of 128 for MXU tiling.
+    """
+
+    def align(d):
+        return max(128, (d // 128) * 128)
+
+    b0 = int(vocab_size * 0.16)
+    b1 = int(vocab_size * 0.34)
+    b2 = vocab_size - b0 - b1
+    return DSoftmaxConfig(
+        block_sizes=(b0, b1, b2),
+        block_dims=(hidden_size, align(hidden_size // 2), align(hidden_size // 4)),
+        mode="prefix",
+    )
+
+
+# ---------------------------------------------------------------------------
+# BASELINE.json benchmark presets (verbatim configs 1-5; SURVEY.md §8)
+# ---------------------------------------------------------------------------
+
+def baseline_config(n: int, vocab_size: int = 50_000) -> Config:
+    """Return preset ``n`` in 1..5 from BASELINE.json's ``configs`` list."""
+    base = Config(vocab_size=vocab_size)
+    if n == 1:
+        # CPU ref: 1-layer 512-hidden, 50k lexicon, full softmax, greedy Viterbi.
+        return base.replace(num_layers=1, hidden_size=512, head="full", beam_width=1)
+    if n == 2:
+        # beam width-10 lattice decoding, per-step top-k pruning, full softmax.
+        return base.replace(beam_width=10, head="full")
+    if n == 3:
+        # D-softmax head, vocab sharded across chips with all-gather top-k.
+        return base.replace(
+            beam_width=10,
+            head="dsoftmax",
+            dsoftmax=default_dsoftmax_blocks(vocab_size, 512),
+            mesh_vocab=4,
+        )
+    if n == 4:
+        # int8 weights, in-kernel dequant, incremental per-keystroke updates.
+        return base.replace(beam_width=10, quantize=True)
+    if n == 5:
+        # 2-layer, 100k vocab, streaming batched conversion over multi-host mesh.
+        v = 100_000
+        return Config(
+            vocab_size=v,
+            num_layers=2,
+            hidden_size=512,
+            head="dsoftmax",
+            dsoftmax=default_dsoftmax_blocks(v, 512),
+            beam_width=10,
+            mesh_data=2,
+            mesh_vocab=4,
+        )
+    raise ValueError(f"baseline config must be 1..5, got {n}")
