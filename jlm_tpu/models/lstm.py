@@ -1,0 +1,148 @@
+"""JAX LSTM LM core — functional init/apply over the shared param pytree.
+
+TPU-first re-design of the reference's TF graph + numpy engine (ref:
+JLM:train/lm.py, JLM:decoder/ model file — SURVEY.md §4.2): pure functions
+over pytrees, ``jax.lax.scan`` over time (static shapes, XLA-fusable), one
+fused ``[x; h] @ W`` matmul per cell with ``i, j, f, o`` gate split.
+
+Quantized weights (int8 + per-channel scale dicts, see
+:mod:`jlm_tpu.ops.quant`) are dequantized inline with jnp — XLA fuses the
+dequant into the consumer matmul; the Pallas kernels in :mod:`jlm_tpu.ops`
+move that dequant fully in-kernel for the hot decode path.
+
+``precision`` threads through every matmul: ``"highest"`` (fp32 on MXU via
+multiple passes) is the parity mode matching the numpy oracle; ``"default"``
+lets the MXU run bf16-class speed for benchmarking.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from jlm_tpu.config import Config
+
+State = Tuple[jnp.ndarray, jnp.ndarray]  # (c, h) each [L, B, H]
+
+
+def _w(leaf, axis: int = 0):
+    """Materialize an (optionally int8-quantized) weight as fp32."""
+    if isinstance(leaf, dict) and "q" in leaf:
+        return leaf["q"].astype(jnp.float32) * jnp.expand_dims(leaf["scale"], axis)
+    return leaf
+
+
+def embed(params: Dict[str, Any], word_ids: jnp.ndarray) -> jnp.ndarray:
+    """Embedding row gather with per-row dequant for int8 tables."""
+    emb = params["embedding"]
+    if isinstance(emb, dict) and "q" in emb:
+        rows = emb["q"][word_ids].astype(jnp.float32)
+        return rows * emb["scale"][word_ids][..., None]
+    return emb[word_ids]
+
+
+def initial_state(config: Config, batch: int) -> State:
+    shape = (config.num_layers, batch, config.hidden_size)
+    return jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32)
+
+
+def lstm_step(
+    params: Dict[str, Any],
+    config: Config,
+    x: jnp.ndarray,  # [B, E] embedded input
+    state: State,
+    precision: str = "highest",
+) -> Tuple[jnp.ndarray, State]:
+    """One fused-cell step through all layers; returns (h_top [B,H], state')."""
+    c, h = state
+    H = config.hidden_size
+    new_c, new_h = [], []
+    for l, layer in enumerate(params["lstm"]):
+        z = (
+            jnp.dot(
+                jnp.concatenate([x, h[l]], axis=1),
+                _w(layer["W"]),
+                precision=precision,
+            )
+            + layer["b"]
+        )
+        i, j, f, o = jnp.split(z, 4, axis=1)
+        cl = jax.nn.sigmoid(f + config.forget_bias) * c[l] + jax.nn.sigmoid(
+            i
+        ) * jnp.tanh(j)
+        hl = jax.nn.sigmoid(o) * jnp.tanh(cl)
+        new_c.append(cl)
+        new_h.append(hl)
+        x = hl
+    return x, (jnp.stack(new_c), jnp.stack(new_h))
+
+
+def head_logits(
+    params: Dict[str, Any],
+    config: Config,
+    h_top: jnp.ndarray,  # [B, H]
+    precision: str = "highest",
+) -> jnp.ndarray:
+    """Output projection → logits [B, V]; full or D-softmax head (§4.4)."""
+    head = params["head"]
+    if "blocks" in head:
+        cfg = config.dsoftmax
+        outs = []
+        offset = 0
+        for k, blk in enumerate(head["blocks"]):
+            d = cfg.block_dims[k]
+            if cfg.mode == "prefix":
+                hs = h_top[:, :d]
+            else:
+                hs = h_top[:, offset : offset + d]
+                offset += d
+            outs.append(jnp.dot(hs, _w(blk["W"]), precision=precision) + blk["b"])
+        return jnp.concatenate(outs, axis=1)
+    return jnp.dot(h_top, _w(head["W"]), precision=precision) + head["b"]
+
+
+def log_softmax(logits: jnp.ndarray) -> jnp.ndarray:
+    """Max-subtracted fp32 log-softmax — the frozen parity numeric rule."""
+    logits = logits.astype(jnp.float32)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    return logits - (m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True)))
+
+
+def step_logp(
+    params: Dict[str, Any],
+    config: Config,
+    word_ids: jnp.ndarray,  # [B]
+    state: State,
+    precision: str = "highest",
+) -> Tuple[jnp.ndarray, State]:
+    """Full LM step mirroring :meth:`OracleLM.step`: ids → (logp [B,V], state')."""
+    x = embed(params, word_ids)
+    h_top, state = lstm_step(params, config, x, state, precision)
+    return log_softmax(head_logits(params, config, h_top, precision)), state
+
+
+def forward_hidden(
+    params: Dict[str, Any],
+    config: Config,
+    ids: jnp.ndarray,  # [B, T] int32
+    state: State,
+    precision: str = "default",
+) -> Tuple[jnp.ndarray, State]:
+    """Run the LSTM over a time window via ``lax.scan``.
+
+    Returns the top-layer hidden sequence ``[B, T, H]`` and the carried
+    state — the training path's recurrent core (the output head/loss is
+    applied by the caller so sampled-softmax and D-softmax losses can share
+    this scan).
+    """
+    xs = embed(params, ids)  # [B, T, E]
+
+    def scan_fn(carry, x_t):
+        h_top, carry = lstm_step(params, config, x_t, carry, precision)
+        return carry, h_top
+
+    state, hs = jax.lax.scan(scan_fn, state, jnp.swapaxes(xs, 0, 1))
+    return jnp.swapaxes(hs, 0, 1), state

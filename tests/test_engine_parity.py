@@ -1,0 +1,110 @@
+"""Device-resident decoder vs numpy oracle: top-1 path parity.
+
+This is the build's central parity gate (BASELINE north star: "decoded
+conversions must match the reference outputs — same top-1 paths, LM scores
+within quantization tolerance"; SURVEY.md §9.3.5).  The oracle plays the
+reference; the engine must reproduce its paths exactly in fp32 and within
+int8 tolerance when quantized.
+"""
+
+import numpy as np
+import pytest
+
+from jlm_tpu.config import Config, DSoftmaxConfig
+from jlm_tpu.decoder.engine import BeamDecoder
+from jlm_tpu.models import init_params
+from jlm_tpu.oracle import OracleDecoder, OracleLM
+from jlm_tpu.ops.quant import quantize_params
+
+
+@pytest.fixture(scope="module")
+def oracle(tiny_params, tiny_config, lexicon, vocab):
+    return OracleDecoder(
+        OracleLM(tiny_params, tiny_config), lexicon, vocab, tiny_config
+    )
+
+
+@pytest.fixture(scope="module")
+def engine(tiny_params, tiny_config, lexicon, vocab):
+    return BeamDecoder(tiny_params, lexicon, vocab, tiny_config)
+
+
+KANAS = [
+    "きょうはいい",
+    "あめがふる",
+    "はしをみる",
+    "かみとかわ",
+    "きょうはいいてんき",
+    "ゑ",  # unknown fallback
+    "とてもさむいです",
+]
+
+
+@pytest.mark.parametrize("kana", KANAS)
+def test_top1_parity(engine, oracle, kana):
+    r_e = engine.decode(kana, n_best=3)
+    r_o = oracle.decode(kana, n_best=3)
+    assert r_e[0].segments == r_o[0].segments, (
+        f"top-1 path mismatch for {kana}: {r_e[0].surface} vs {r_o[0].surface}"
+    )
+    assert abs(r_e[0].score - r_o[0].score) < 1e-3
+    # n-best score lists match too
+    np.testing.assert_allclose(
+        [r.score for r in r_e], [r.score for r in r_o[: len(r_e)]], atol=1e-3
+    )
+
+
+def test_greedy_config_parity(tiny_params, tiny_config, lexicon, vocab):
+    """BASELINE config 1: beam_width=1 greedy Viterbi."""
+    cfg = tiny_config.replace(beam_width=1)
+    eng = BeamDecoder(tiny_params, lexicon, vocab, cfg)
+    orc = OracleDecoder(OracleLM(tiny_params, cfg), lexicon, vocab, cfg)
+    for kana in ["きょうはいい", "あめがふる"]:
+        assert eng.decode(kana)[0].segments == orc.decode(kana)[0].segments
+
+
+def test_batch_decode_matches_single(engine):
+    kanas = ["きょうはいい", "あめがふる", "はしをみる"]
+    batched = engine.decode_batch(kanas, n_best=2)
+    for kana, res in zip(kanas, batched):
+        single = engine.decode(kana, n_best=2)
+        assert [r.segments for r in res] == [r.segments for r in single]
+        np.testing.assert_allclose(
+            [r.score for r in res], [r.score for r in single], atol=1e-4
+        )
+
+
+def test_quantized_parity_tolerance(tiny_params, tiny_config, lexicon, vocab):
+    """int8 engine vs int8 oracle: identical paths, scores match closely
+
+    (both dequantize the same int8 weights, so the only divergence is
+    numpy-vs-XLA fp32 rounding)."""
+    qp = quantize_params(tiny_params)
+    eng = BeamDecoder(qp, lexicon, vocab, tiny_config)
+    orc = OracleDecoder(OracleLM(qp, tiny_config), lexicon, vocab, tiny_config)
+    for kana in ["きょうはいいてんき", "かみとかわ"]:
+        r_e, r_o = eng.decode(kana)[0], orc.decode(kana)[0]
+        assert r_e.segments == r_o.segments
+        assert abs(r_e.score - r_o.score) < 1e-3
+
+
+def test_dsoftmax_engine_parity(lexicon, vocab):
+    cfg = Config(
+        vocab_size=256,
+        embed_size=32,
+        hidden_size=64,
+        head="dsoftmax",
+        dsoftmax=DSoftmaxConfig(
+            block_sizes=(64, 64, 128), block_dims=(64, 32, 16), mode="prefix"
+        ),
+        beam_width=4,
+        max_kana_len=30,
+        seed=42,
+    )
+    params = init_params(cfg)
+    eng = BeamDecoder(params, lexicon, vocab, cfg)
+    orc = OracleDecoder(OracleLM(params, cfg), lexicon, vocab, cfg)
+    for kana in ["きょうはいい", "はしをみる"]:
+        r_e, r_o = eng.decode(kana)[0], orc.decode(kana)[0]
+        assert r_e.segments == r_o.segments
+        assert abs(r_e.score - r_o.score) < 1e-3
