@@ -78,6 +78,7 @@ class Config:
     # --- training (SURVEY.md §4.8) ---
     batch_size: int = 32
     num_steps: int = 32         # truncated-BPTT window
+    optimizer: str = "adam"     # "adam" | "sgd"
     learning_rate: float = 1e-3
     lr_decay: float = 0.8       # multiplicative decay per epoch after decay_start
     lr_decay_start_epoch: int = 4

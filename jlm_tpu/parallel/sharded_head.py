@@ -1,0 +1,312 @@
+"""Vocab-sharded output head, globally-consistent top-k, and vocab-parallel loss.
+
+The [NORM] tensor-parallel dimension of the build (SURVEY.md §3.3):
+the output vocabulary — the FLOP-dominant matmul at V=50k–100k, §4.4 —
+is column-sharded over the ``vocab`` mesh axis.  Everything here uses
+explicit ``shard_map`` collectives so the exchange pattern is pinned:
+
+- :func:`make_sharded_forward` — decode-time LM forward whose head
+  computes per-shard logits, reduces a global log-sum-exp
+  (``pmax``+``psum``), and exchanges candidate/eos logits via ``psum``
+  so every shard sees identical beam scores (the "all-gather top-k
+  candidate logits, beam stays globally consistent" requirement of
+  BASELINE config 3; a psum of one-hot-owned values is the same wire
+  traffic as an all-gather of per-shard candidates, in one collective);
+- :func:`sharded_topk` — per-shard top-k → ``all_gather`` → re-top-k,
+  bit-identical to unsharded ``lax.top_k`` INCLUDING tie order (shard-major
+  flat order == global-id order, see the parity test);
+- :func:`vocab_parallel_nll` — Megatron-style vocab-parallel softmax
+  cross-entropy for training over a ``(data, vocab)`` mesh.
+
+D-softmax blocks are each column-sharded (every shard owns a slice of
+every frequency block), so per-shard FLOPs stay balanced across the
+frequency tiers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from jlm_tpu.config import Config, EOS_ID
+from jlm_tpu.parallel.mesh import DATA_AXIS, VOCAB_AXIS
+from jlm_tpu.models.lstm import embed, lstm_step, _w
+
+
+# --------------------------------------------------------------------------
+# Param shardings
+# --------------------------------------------------------------------------
+
+def param_shardings(config: Config, mesh: jax.sharding.Mesh) -> Any:
+    """PartitionSpec pytree for the model params.
+
+    Head weights are column-sharded over ``vocab``; LSTM + embedding are
+    replicated (small next to the head at 50k–100k vocab).  Quantized
+    leaves shard ``q`` and ``scale`` along the same output axis.
+    """
+
+    if config.head == "dsoftmax":
+        head = {
+            "blocks": [
+                {"W": P(None, VOCAB_AXIS), "b": P(VOCAB_AXIS)}
+                for _ in config.dsoftmax.block_sizes
+            ]
+        }
+    else:
+        head = {"W": P(None, VOCAB_AXIS), "b": P(VOCAB_AXIS)}
+    return {
+        "embedding": P(),
+        "lstm": [{"W": P(), "b": P()} for _ in range(config.num_layers)],
+        "head": head,
+    }
+
+
+def shard_params(params: Any, config: Config, mesh: jax.sharding.Mesh) -> Any:
+    """Place params on the mesh per :func:`param_shardings`.
+
+    Quantized dict leaves get their spec broadcast to ``q`` (2-D) and a
+    1-D spec for ``scale``.
+    """
+    specs = param_shardings(config, mesh)
+
+    def put(leaf, spec):
+        if isinstance(leaf, dict) and "q" in leaf:
+            qspec = spec
+            sspec = P(spec[1]) if len(spec) > 1 else P()
+            return {
+                "q": jax.device_put(leaf["q"], NamedSharding(mesh, qspec)),
+                "scale": jax.device_put(leaf["scale"], NamedSharding(mesh, sspec)),
+            }
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree.map(
+        put, params, specs,
+        is_leaf=lambda x: isinstance(x, dict) and "q" in x,
+    )
+
+
+# --------------------------------------------------------------------------
+# Static vocab layout: candidate global id -> (owner shard, local column)
+# --------------------------------------------------------------------------
+
+def _vocab_layout(config: Config, n: int):
+    """Owner/local-position math for column-sharded (blocked) vocab.
+
+    Returns a closure mapping global word ids to (owner, local_pos) under
+    the per-block column sharding, plus the local vocab size.
+    """
+    if config.head == "dsoftmax":
+        sizes = np.asarray(config.dsoftmax.block_sizes, np.int32)
+        assert (sizes % n == 0).all(), (
+            f"dsoftmax block sizes {tuple(sizes)} must divide by mesh_vocab={n}"
+        )
+        bases = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
+        slice_sizes = sizes // n
+        local_bases = np.concatenate([[0], np.cumsum(slice_sizes)[:-1]]).astype(
+            np.int32
+        )
+        v_local = int(slice_sizes.sum())
+        bases_j = jnp.asarray(bases)
+        slice_j = jnp.asarray(slice_sizes)
+        lbases_j = jnp.asarray(local_bases)
+
+        def owner_pos(ids: jnp.ndarray):
+            blk = jnp.searchsorted(bases_j, ids, side="right") - 1
+            off = ids - bases_j[blk]
+            owner = off // slice_j[blk]
+            pos = lbases_j[blk] + off % slice_j[blk]
+            return owner, pos
+
+        return owner_pos, v_local
+    V = config.vocab_size
+    assert V % n == 0, f"vocab {V} must divide by mesh_vocab={n}"
+    v_local = V // n
+
+    def owner_pos(ids: jnp.ndarray):
+        return ids // v_local, ids % v_local
+
+    return owner_pos, v_local
+
+
+def _local_head_logits(
+    config: Config, head: Dict, h_top: jnp.ndarray, precision: str
+) -> jnp.ndarray:
+    """Per-shard logits [B, V_local] from the shard's head slice."""
+    if "blocks" in head:
+        cfg = config.dsoftmax
+        outs = []
+        offset = 0
+        for k, blk in enumerate(head["blocks"]):
+            d = cfg.block_dims[k]
+            if cfg.mode == "prefix":
+                hs = h_top[:, :d]
+            else:
+                hs = h_top[:, offset : offset + d]
+                offset += d
+            outs.append(jnp.dot(hs, _w(blk["W"]), precision=precision) + blk["b"])
+        return jnp.concatenate(outs, axis=1)
+    return jnp.dot(h_top, _w(head["W"]), precision=precision) + head["b"]
+
+
+# --------------------------------------------------------------------------
+# Decode-time sharded forward (plugs into BeamDecoder as forward_fn)
+# --------------------------------------------------------------------------
+
+def make_sharded_forward(
+    mesh: jax.sharding.Mesh, config: Config, precision: str = "highest"
+) -> Callable:
+    """ForwardFn with the output head sharded over the ``vocab`` axis.
+
+    The recurrent core (embedding + LSTM) is tiny next to the head and runs
+    replicated; only per-shard logits, a global logsumexp reduction, and one
+    candidate-logit ``psum`` cross the wire — O(B·C) bytes per frame on ICI.
+    """
+    n = mesh.shape[VOCAB_AXIS]
+    owner_pos, v_local = _vocab_layout(config, n)
+
+    head_specs = (
+        {"blocks": [{"W": P(None, VOCAB_AXIS), "b": P(VOCAB_AXIS)}
+                    for _ in config.dsoftmax.block_sizes]}
+        if config.head == "dsoftmax"
+        else {"W": P(None, VOCAB_AXIS), "b": P(VOCAB_AXIS)}
+    )
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(head_specs, P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def _sharded_head(head, h_top, cand_words):
+        logits = _local_head_logits(config, head, h_top, precision).astype(
+            jnp.float32
+        )
+        # Global log-sum-exp across shards.
+        m = jax.lax.pmax(jnp.max(logits, axis=1), VOCAB_AXIS)  # [B]
+        se = jax.lax.psum(
+            jnp.sum(jnp.exp(logits - m[:, None]), axis=1), VOCAB_AXIS
+        )
+        lse = m + jnp.log(se)
+        # Candidate columns (+ <eos> appended) — each shard contributes the
+        # ids it owns; one psum makes every shard/beam globally consistent.
+        ids = jnp.concatenate([cand_words, jnp.array([EOS_ID], jnp.int32)])
+        owner, pos = owner_pos(ids)
+        mine = owner == jax.lax.axis_index(VOCAB_AXIS)
+        vals = jnp.take(logits, jnp.clip(pos, 0, v_local - 1), axis=1)  # [B, C+1]
+        vals = jnp.where(mine[None, :], vals, 0.0)
+        vals = jax.lax.psum(vals, VOCAB_AXIS) - lse[:, None]
+        return vals[:, :-1], vals[:, -1]
+
+    def forward(params, word_ids, state, cand_words):
+        x = embed(params, word_ids)
+        h_top, state = lstm_step(params, config, x, state, precision)
+        cand_logp, eos_logp = _sharded_head(params["head"], h_top, cand_words)
+        return cand_logp, eos_logp, state
+
+    return forward
+
+
+# --------------------------------------------------------------------------
+# Globally-consistent sharded top-k (next-word prediction / suggestion API)
+# --------------------------------------------------------------------------
+
+def sharded_topk(
+    mesh: jax.sharding.Mesh, logits: jnp.ndarray, k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k over a column-sharded ``[B, V]`` logits array.
+
+    Per-shard ``lax.top_k`` → ``all_gather`` of (value, global id) pairs →
+    re-top-k.  Exactly equivalent to unsharded ``lax.top_k`` including tie
+    order: the gathered flat layout is shard-major, and within a shard the
+    local list is value-desc/id-asc, so a tie group reads off in global-id
+    order — the same lower-index-first rule ``lax.top_k`` applies
+    (SURVEY.md §9.3.2, the hard part this function pins down).
+    """
+    n = mesh.shape[VOCAB_AXIS]
+    V = logits.shape[-1]
+    v_local = V // n
+    kl = min(k, v_local)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=P(None, VOCAB_AXIS),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def _topk(local):  # [B, v_local]
+        vals, idx = jax.lax.top_k(local, kl)
+        gids = idx + jax.lax.axis_index(VOCAB_AXIS) * v_local
+        # all_gather over shards → [n, B, kl] → shard-major flat [B, n*kl]
+        av = jax.lax.all_gather(vals, VOCAB_AXIS)
+        ai = jax.lax.all_gather(gids, VOCAB_AXIS)
+        av = jnp.swapaxes(av, 0, 1).reshape(local.shape[0], n * kl)
+        ai = jnp.swapaxes(ai, 0, 1).reshape(local.shape[0], n * kl)
+        fv, fi = jax.lax.top_k(av, k)
+        return fv, jnp.take_along_axis(ai, fi, axis=1)
+
+    return _topk(logits)
+
+
+# --------------------------------------------------------------------------
+# Training: vocab-parallel cross-entropy over a (data, vocab) mesh
+# --------------------------------------------------------------------------
+
+def vocab_parallel_nll(
+    mesh: jax.sharding.Mesh, config: Config, precision: str = "default"
+) -> Callable:
+    """Mean-NLL loss with head column-sharded and batch row-sharded.
+
+    Differentiable through ``shard_map``; the data-axis ``pmean`` makes the
+    gradient the global-batch mean, so data-parallel grad sync falls out of
+    the loss itself.
+    """
+    n = mesh.shape[VOCAB_AXIS]
+    owner_pos, v_local = _vocab_layout(config, n)
+
+    head_specs = (
+        {"blocks": [{"W": P(None, VOCAB_AXIS), "b": P(VOCAB_AXIS)}
+                    for _ in config.dsoftmax.block_sizes]}
+        if config.head == "dsoftmax"
+        else {"W": P(None, VOCAB_AXIS), "b": P(VOCAB_AXIS)}
+    )
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(head_specs, P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def _nll(head, hs, targets):  # hs [b, T, H], targets [b, T] (local rows)
+        b, T, H = hs.shape
+        h = hs.reshape(b * T, H)
+        t = targets.reshape(b * T)
+        logits = _local_head_logits(config, head, h, precision).astype(jnp.float32)
+        # stop_gradient before pmax: lse is shift-invariant in m, and pmax
+        # lacks a JVP rule — zero the tangent on its input.
+        m = jax.lax.pmax(
+            jax.lax.stop_gradient(jnp.max(logits, axis=1)), VOCAB_AXIS
+        )
+        se = jax.lax.psum(jnp.sum(jnp.exp(logits - m[:, None]), axis=1), VOCAB_AXIS)
+        lse = m + jnp.log(se)
+        owner, pos = owner_pos(t)
+        mine = owner == jax.lax.axis_index(VOCAB_AXIS)
+        tl = jnp.take_along_axis(
+            logits, jnp.clip(pos, 0, v_local - 1)[:, None], axis=1
+        )[:, 0]
+        tl = jax.lax.psum(jnp.where(mine, tl, 0.0), VOCAB_AXIS)
+        local_mean = jnp.mean(lse - tl)
+        return jax.lax.pmean(local_mean, DATA_AXIS)
+
+    def loss(params, hs, targets):
+        return _nll(params["head"], hs, targets)
+
+    return loss

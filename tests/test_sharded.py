@@ -1,0 +1,129 @@
+"""Vocab-sharded head / top-k / loss vs unsharded references.
+
+Runs on the virtual 8-device CPU mesh (SURVEY.md §6.4).  The load-bearing
+property is EXACT equivalence with the unsharded path — including top-k tie
+order — because beam parity depends on it (SURVEY.md §9.3.2).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jlm_tpu.config import Config, DSoftmaxConfig
+from jlm_tpu.decoder.engine import BeamDecoder, full_softmax_forward
+from jlm_tpu.models import init_params
+from jlm_tpu.models.heads import full_softmax_loss
+from jlm_tpu.models.lstm import forward_hidden, initial_state
+from jlm_tpu.oracle import OracleDecoder, OracleLM
+from jlm_tpu.parallel import (
+    make_mesh,
+    make_sharded_forward,
+    shard_params,
+    sharded_topk,
+    vocab_parallel_nll,
+)
+
+
+def cfg_mesh(**kw):
+    base = dict(
+        vocab_size=256, embed_size=32, hidden_size=64, beam_width=4,
+        max_kana_len=30, mesh_data=2, mesh_vocab=4, seed=42,
+    )
+    base.update(kw)
+    cfg = Config(**base)
+    return cfg, make_mesh(cfg)
+
+
+def test_mesh_axes():
+    cfg, mesh = cfg_mesh()
+    assert mesh.shape == {"data": 2, "vocab": 4}
+
+
+def test_sharded_forward_matches_unsharded(tiny_params):
+    cfg, mesh = cfg_mesh()
+    params = shard_params(jax.tree.map(jnp.asarray, tiny_params), cfg, mesh)
+    fwd = make_sharded_forward(mesh, cfg)
+    words = jnp.asarray([3, 9], jnp.int32)
+    state = initial_state(cfg, 2)
+    cand = jnp.asarray([0, 5, 17, 255], jnp.int32)
+    c_s, e_s, st_s = fwd(params, words, state, cand)
+    c_r, e_r, st_r = full_softmax_forward(
+        jax.tree.map(jnp.asarray, tiny_params), cfg, words, state, cand
+    )
+    np.testing.assert_allclose(c_s, c_r, atol=1e-5)
+    np.testing.assert_allclose(e_s, e_r, atol=1e-5)
+    np.testing.assert_allclose(st_s[0], st_r[0], atol=1e-6)
+
+
+def test_sharded_dsoftmax_forward_matches_unsharded():
+    cfg, mesh = cfg_mesh(
+        head="dsoftmax",
+        dsoftmax=DSoftmaxConfig(
+            block_sizes=(64, 64, 128), block_dims=(64, 32, 16), mode="prefix"
+        ),
+    )
+    params = jax.tree.map(jnp.asarray, init_params(cfg))
+    sharded = shard_params(params, cfg, mesh)
+    fwd = make_sharded_forward(mesh, cfg)
+    words = jnp.asarray([1, 8], jnp.int32)
+    state = initial_state(cfg, 2)
+    # candidates spanning all three blocks incl. boundaries
+    cand = jnp.asarray([0, 63, 64, 127, 128, 255], jnp.int32)
+    c_s, e_s, _ = fwd(sharded, words, state, cand)
+
+    from jlm_tpu.decoder.engine import full_softmax_forward as ref_fwd
+
+    c_r, e_r, _ = ref_fwd(params, cfg, words, state, cand)
+    np.testing.assert_allclose(c_s, c_r, atol=1e-5)
+    np.testing.assert_allclose(e_s, e_r, atol=1e-5)
+
+
+def test_sharded_topk_exact_with_ties():
+    cfg, mesh = cfg_mesh()
+    rng = np.random.default_rng(0)
+    # quantize values so cross-shard ties are guaranteed
+    logits = rng.integers(0, 8, (3, 256)).astype(np.float32)
+    lj = jnp.asarray(logits)
+    vals_s, idx_s = sharded_topk(mesh, lj, k=10)
+    vals_r, idx_r = jax.lax.top_k(lj, 10)
+    np.testing.assert_array_equal(np.asarray(vals_s), np.asarray(vals_r))
+    np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_r))
+
+
+def test_vocab_parallel_nll_and_grads(tiny_params):
+    cfg, mesh = cfg_mesh()
+    params = jax.tree.map(jnp.asarray, tiny_params)
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, 256, (4, 6)).astype(np.int32)
+    tgt = rng.integers(0, 256, (4, 6)).astype(np.int32)
+    hs, _ = forward_hidden(params, cfg, jnp.asarray(ids), initial_state(cfg, 4),
+                           precision="highest")
+    loss_fn = vocab_parallel_nll(mesh, cfg, precision="highest")
+
+    sharded = shard_params(params, cfg, mesh)
+    l_s = loss_fn(sharded, hs, jnp.asarray(tgt))
+    l_r = full_softmax_loss(params, cfg, hs, jnp.asarray(tgt), precision="highest")
+    np.testing.assert_allclose(float(l_s), float(l_r), atol=1e-5)
+
+    g_s = jax.grad(lambda p: loss_fn(p, hs, jnp.asarray(tgt)))(sharded)
+    g_r = jax.grad(
+        lambda p: full_softmax_loss(p, cfg, hs, jnp.asarray(tgt), precision="highest")
+    )(params)
+    np.testing.assert_allclose(
+        np.asarray(g_s["head"]["W"]), np.asarray(g_r["head"]["W"]), atol=1e-5
+    )
+
+
+def test_sharded_decode_top1_parity(tiny_params, lexicon, vocab):
+    """BASELINE config 3 skeleton: vocab-sharded beam decode == oracle."""
+    cfg, mesh = cfg_mesh()
+    params = jax.tree.map(jnp.asarray, tiny_params)
+    sharded = shard_params(params, cfg, mesh)
+    fwd = make_sharded_forward(mesh, cfg)
+    eng = BeamDecoder(sharded, lexicon, vocab, cfg, forward_fn=fwd)
+    orc = OracleDecoder(OracleLM(tiny_params, cfg), lexicon, vocab, cfg)
+    for kana in ["きょうはいいてんき", "あめがふる", "かみとかわ"]:
+        r_e, r_o = eng.decode(kana)[0], orc.decode(kana)[0]
+        assert r_e.segments == r_o.segments, kana
+        assert abs(r_e.score - r_o.score) < 1e-3

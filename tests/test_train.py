@@ -1,0 +1,80 @@
+"""Trainer behavior: loss decreases, state carry, lr decay, checkpoints.
+
+(SURVEY.md §4.8 — the reference's training-loop contract.)
+"""
+
+import numpy as np
+import jax
+
+from jlm_tpu.config import Config
+from jlm_tpu.models.params import param_spec
+from jlm_tpu.train import Trainer, load_checkpoint, save_checkpoint, train_lm
+from jlm_tpu.train.trainer import epoch_lr
+
+
+def small_cfg(**kw):
+    # vocab_size must match the session fixture's encoded corpus (256) —
+    # out-of-range targets NaN-fill under jnp gather semantics.
+    base = dict(
+        vocab_size=256, embed_size=16, hidden_size=32, batch_size=4,
+        num_steps=8, epochs=2, learning_rate=5e-3, seed=5,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def test_ppl_decreases(encoded):
+    train, dev, _ = encoded
+    cfg = small_cfg()
+    tr = Trainer(cfg)
+    ppl0 = tr.evaluate_ppl(dev[:400])
+    rng = jax.random.key(0)
+    for e in range(2):
+        tr.run_epoch(train[:2000], e, rng)
+    ppl1 = tr.evaluate_ppl(dev[:400])
+    assert ppl1 < ppl0 * 0.9, f"PPL did not improve: {ppl0} -> {ppl1}"
+    assert ppl0 < cfg.vocab_size * 1.5  # sane init (~uniform)
+
+
+def test_sampled_softmax_training_improves(encoded):
+    train, dev, _ = encoded
+    cfg = small_cfg(sampled_softmax_samples=32)
+    tr = Trainer(cfg)
+    ppl0 = tr.evaluate_ppl(dev[:400])
+    rng = jax.random.key(1)
+    for e in range(2):
+        tr.run_epoch(train[:2000], e, rng)
+    assert tr.evaluate_ppl(dev[:400]) < ppl0
+
+
+def test_lr_decay_schedule():
+    cfg = small_cfg(learning_rate=1.0, lr_decay=0.5, lr_decay_start_epoch=2)
+    assert epoch_lr(cfg, 0) == 1.0
+    assert epoch_lr(cfg, 2) == 1.0
+    assert epoch_lr(cfg, 3) == 0.5
+    assert epoch_lr(cfg, 4) == 0.25
+
+
+def test_train_lm_and_checkpoint_roundtrip(encoded, tmp_path):
+    train, dev, _ = encoded
+    cfg = small_cfg(epochs=1)
+    params, history = train_lm(cfg, train[:1000], dev[:200],
+                               exp_dir=str(tmp_path), log=False)
+    assert len(history) == 1 and history[0]["dev_ppl"] > 1
+    loaded, loaded_cfg = load_checkpoint(str(tmp_path))
+    assert loaded_cfg.vocab_size == cfg.vocab_size
+    assert param_spec(jax.tree.map(np.asarray, params)) == param_spec(loaded)
+    np.testing.assert_allclose(
+        np.asarray(params["embedding"]), loaded["embedding"], atol=0
+    )
+
+
+def test_checkpoint_quantized_roundtrip(tiny_params, tiny_config, tmp_path):
+    from jlm_tpu.ops.quant import quantize_params
+
+    qp = quantize_params(tiny_params)
+    save_checkpoint(str(tmp_path), qp, tiny_config, tag="q")
+    loaded, _ = load_checkpoint(str(tmp_path), tag="q")
+    assert loaded["embedding"]["q"].dtype == np.int8
+    np.testing.assert_array_equal(loaded["embedding"]["q"], qp["embedding"]["q"])
+    np.testing.assert_array_equal(loaded["head"]["W"]["scale"], qp["head"]["W"]["scale"])
