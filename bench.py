@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Benchmark: kana-kanji conversion chars/sec/chip on TPU vs the CPU oracle.
+
+Protocol (BASELINE.md): no published digits exist for the reference, so the
+measured numpy CPU oracle (BASELINE config 1: 1-layer 512-hidden LSTM, 50k
+vocab, full softmax, greedy Viterbi over the fixed synthetic test file) is
+the de-facto baseline.  The benchmarked TPU path is the harder config-2
+workload — beam-10 lattice decoding, streaming batched over the whole test
+set in one device-resident scan — at flagship dims on one chip.
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": ..., "value": ..., "unit": "chars/s", "vs_baseline": ...}
+Diagnostics (oracle baseline, parity vs oracle, timing splits) go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    from jlm_tpu.config import Config
+    from jlm_tpu.data import (
+        Lexicon,
+        build_vocab,
+        generate_corpus,
+        generate_test_set,
+    )
+    from jlm_tpu.decoder.engine import BeamDecoder
+    from jlm_tpu.models.params import init_params
+    from jlm_tpu.oracle import OracleDecoder, OracleLM
+
+    log(f"devices: {jax.devices()}")
+
+    # Flagship dims (BASELINE configs 1/2): vocab padded to 50k — the
+    # synthetic lexicon occupies the low ids; the model pays the full
+    # 50k-softmax cost either way, which is what we are measuring.
+    config = Config(
+        vocab_size=50_000,
+        embed_size=256,
+        hidden_size=512,
+        num_layers=1,
+        beam_width=10,
+        seed=0,
+    )
+    vocab = build_vocab(generate_corpus(2000, seed=1234), config.vocab_size)
+    lexicon = Lexicon.from_vocab(vocab)
+    params = init_params(config)
+    tests = generate_test_set(50, seed=777)
+    kanas = [k for k, _ in tests]
+    n_chars = sum(len(k) for k in kanas)
+
+    # --- CPU oracle baseline: config 1 (greedy, numpy) -------------------
+    greedy_cfg = config.replace(beam_width=1)
+    oracle = OracleDecoder(
+        OracleLM(params, greedy_cfg), lexicon, vocab, greedy_cfg
+    )
+    t0 = time.time()
+    oracle_results = [oracle.decode(k)[0] for k in kanas]
+    oracle_dt = time.time() - t0
+    baseline = n_chars / oracle_dt
+    log(f"oracle (CPU greedy, config 1): {n_chars} chars in "
+        f"{oracle_dt:.2f}s = {baseline:.1f} chars/s")
+
+    # --- TPU engine: config 2 (beam-10, streaming batched) ---------------
+    engine = BeamDecoder(params, lexicon, vocab, config, precision="default")
+    t0 = time.time()
+    results = engine.decode_batch(kanas, n_best=1)
+    log(f"tpu compile+first run: {time.time() - t0:.1f}s")
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        results = engine.decode_batch(kanas, n_best=1)
+    tpu_dt = (time.time() - t0) / reps
+    value = n_chars / tpu_dt
+    log(f"tpu (beam-10 batched): {n_chars} chars in {tpu_dt:.3f}s/rep = "
+        f"{value:.1f} chars/s")
+
+    # --- parity diagnostic (beam-10 engine vs greedy oracle: engine top-1
+    # score must be >= greedy score; exact-match rate reported as info) ----
+    better = sum(
+        r[0].score >= o.score - 1e-3
+        for r, o in zip(results, oracle_results)
+    )
+    log(f"beam>=greedy score on {better}/{len(kanas)} sentences")
+
+    print(
+        json.dumps(
+            {
+                "metric": "kana_kanji_chars_per_sec_per_chip",
+                "value": round(value, 1),
+                "unit": "chars/s",
+                "vs_baseline": round(value / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

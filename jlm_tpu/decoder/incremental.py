@@ -1,0 +1,246 @@
+"""Incremental per-keystroke decoding (BASELINE config 4).
+
+Rebuild of the reference's per-keystroke mode (ref: JLM:decoder/decoder.py
+incremental entry point — SURVEY.md §4.7): after keystroke ``T+1`` only the
+new frame is processed; beams 0..T and their cached LSTM states are reused,
+so each keystroke costs ONE device frame-step instead of re-decoding the
+lattice.
+
+Cache design differs from the batch engine on purpose: the batch scan
+pre-computes candidate log-probs per position because the whole lattice is
+known up front; under incremental typing, future candidates are unknown at
+beam-finalization time.  Instead every position caches ``(c, h, score,
+logsumexp)`` and a keystroke scores its frame's nodes LAZILY via
+:func:`jlm_tpu.models.lstm.candidate_logits` (gather only the needed output
+columns) — ``logp(w | path) = logit_w(h) − lse``.  This is exactly equal to
+the batch engine's numbers, which the parity test pins.
+
+Also supports ``pop()`` (backspace): positions after the cursor are simply
+overwritten by later keystrokes, so deletion is O(1) host bookkeeping —
+the cached prefix stays valid.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jlm_tpu.config import Config, EOS_ID
+from jlm_tpu.data.corpus import Vocab
+from jlm_tpu.data.lexicon import Lexicon
+from jlm_tpu.decoder.lattice import Node
+from jlm_tpu.models.lstm import (
+    candidate_logits,
+    embed,
+    head_logits,
+    initial_state,
+    lstm_step,
+)
+from jlm_tpu.oracle.decoder import DecodeResult
+
+
+def _forward_with_lse(params, config, words, state, precision):
+    """One LM step returning (state', h_top, lse, eos_logp)."""
+    x = embed(params, words)
+    h_top, state = lstm_step(params, config, x, state, precision)
+    logits = head_logits(params, config, h_top, precision).astype(jnp.float32)
+    m = jnp.max(logits, axis=-1)
+    lse = m + jnp.log(jnp.sum(jnp.exp(logits - m[:, None]), axis=-1))
+    return state, h_top, lse, logits[:, EOS_ID] - lse
+
+
+def _root_init(params, *, config, precision):
+    B = config.beam_pad
+    state = initial_state(config, B)
+    words = jnp.full((B,), EOS_ID, jnp.int32)
+    (c, h), h_top, lse, eos = _forward_with_lse(
+        params, config, words, state, precision
+    )
+    return c, h, h_top, lse, eos
+
+
+def _keystroke_step(
+    params,
+    score_cache,  # [T_max+1, B]
+    lse_cache,  # [T_max+1, B]
+    eos_cache,  # [T_max+1, B]
+    c_cache,  # [T_max+1, L, B, H]
+    h_cache,  # [T_max+1, L, B, H]
+    htop_cache,  # [T_max+1, B, H]
+    pos,  # int32 scalar: the new end position (1-based)
+    node_word,  # int32 [N] nodes ending at pos
+    node_start,  # int32 [N]
+    node_mask,  # bool [N]
+    *,
+    config: Config,
+    precision: str,
+):
+    B = config.beam_pad
+    NEG = jnp.float32(-1e30)
+
+    # Lazy extension scores: logit of each node's word from each path of the
+    # beam at the node's start, minus that path's cached logsumexp.
+    h_src = htop_cache[node_start]  # [N, B, H]
+    logits = candidate_logits(
+        params, config, h_src, node_word, precision
+    )  # [N, B, N] -> need diagonal over candidate axis
+    # candidate_logits broadcasts all words over all rows; take matching col.
+    logits = jnp.diagonal(logits, axis1=0, axis2=2).T  # [N, B]
+    ext = score_cache[node_start] + logits - lse_cache[node_start]
+    ext = jnp.where(node_mask[:, None], ext, NEG)
+
+    top_scores, top_idx = jax.lax.top_k(ext.reshape(-1), B)
+    slot_alive = jnp.arange(B) < config.beam_width
+    top_scores = jnp.where(slot_alive, top_scores, NEG)
+    sel_n = top_idx // B
+    sel_p = top_idx % B
+    src_pos = node_start[sel_n]
+    new_words = node_word[sel_n]
+
+    new_c = jnp.moveaxis(c_cache[src_pos, :, sel_p, :], 0, 1)
+    new_h = jnp.moveaxis(h_cache[src_pos, :, sel_p, :], 0, 1)
+    (c2, h2), h_top, lse, eos = _forward_with_lse(
+        params, config, new_words, (new_c, new_h), precision
+    )
+
+    score_cache = score_cache.at[pos].set(top_scores)
+    lse_cache = lse_cache.at[pos].set(lse)
+    eos_cache = eos_cache.at[pos].set(eos)
+    c_cache = c_cache.at[pos].set(c2)
+    h_cache = h_cache.at[pos].set(h2)
+    htop_cache = htop_cache.at[pos].set(h_top)
+    finals = top_scores + eos
+    return (
+        (score_cache, lse_cache, eos_cache, c_cache, h_cache, htop_cache),
+        (src_pos, sel_p, sel_n, finals),
+    )
+
+
+class IncrementalDecoder:
+    """Per-keystroke conversion session.
+
+    ``push(kana_char)`` appends one kana and returns the current n-best;
+    ``pop()`` removes the last kana (backspace); ``reset()`` starts over.
+    Each push costs one jitted device step over static shapes.
+    """
+
+    def __init__(
+        self,
+        params,
+        lexicon: Lexicon,
+        vocab: Vocab,
+        config: Config,
+        precision: str = "highest",
+    ):
+        self.params = params
+        self.lexicon = lexicon
+        self.vocab = vocab
+        self.config = config
+        self._root = jax.jit(
+            functools.partial(_root_init, config=config, precision=precision)
+        )
+        self._step = jax.jit(
+            functools.partial(_keystroke_step, config=config, precision=precision)
+        )
+        self.reset()
+
+    def reset(self) -> None:
+        cfg = self.config
+        B, L, H = cfg.beam_pad, cfg.num_layers, cfg.hidden_size
+        T1 = cfg.max_kana_len + 1
+        c, h, h_top, lse, eos = self._root(self.params)
+        NEG = -1e30
+        self._score = jnp.full((T1, B), NEG).at[0, 0].set(0.0)
+        self._lse = jnp.zeros((T1, B)).at[0].set(lse)
+        self._eos = jnp.zeros((T1, B)).at[0].set(eos)
+        self._c = jnp.zeros((T1, L, B, H)).at[0].set(c)
+        self._h = jnp.zeros((T1, L, B, H)).at[0].set(h)
+        self._htop = jnp.zeros((T1, B, H)).at[0].set(h_top)
+        self.kana = ""
+        self._frames: List[List[Node]] = [[]]  # frames[j] = nodes ending at j
+        self._bp: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = [None]
+        self._finals: List[Optional[np.ndarray]] = [None]
+
+    def _frame_nodes(self, pos: int) -> List[Node]:
+        """Nodes ending at ``pos`` for the current kana prefix.
+
+        Same canonical order as :func:`jlm_tpu.decoder.lattice.build_lattice`
+        (start ascending, dictionary order within a start), so incremental
+        results are tie-for-tie identical to batch decoding.
+        """
+        cfg = self.config
+        M = min(cfg.max_word_len, self.lexicon.max_reading_len)
+        nodes: List[Node] = []
+        for start in range(max(0, pos - M), pos):
+            reading = self.kana[start:pos]
+            for wid, disp in self.lexicon.candidates(reading):
+                display = disp if disp is not None else self.vocab.display(wid)
+                nodes.append(Node(wid, start, pos, display))
+        nodes.sort(key=lambda n: n.start)
+        return nodes[: cfg.max_nodes_per_frame]
+
+    def push(self, kana_char: str, n_best: int = 1) -> List[DecodeResult]:
+        assert len(kana_char) == 1, "push one kana at a time"
+        cfg = self.config
+        pos = len(self.kana) + 1
+        assert pos <= cfg.max_kana_len, "input exceeds max_kana_len"
+        self.kana += kana_char
+        nodes = self._frame_nodes(pos)
+        N = cfg.max_nodes_per_frame
+        nw = np.full(N, EOS_ID, np.int32)
+        ns = np.zeros(N, np.int32)
+        nm = np.zeros(N, bool)
+        for k, n in enumerate(nodes):
+            nw[k], ns[k], nm[k] = n.word_id, n.start, True
+
+        caches = (self._score, self._lse, self._eos, self._c, self._h, self._htop)
+        caches, (src, selp, seln, finals) = self._step(
+            self.params, *caches, jnp.int32(pos),
+            jnp.asarray(nw), jnp.asarray(ns), jnp.asarray(nm),
+        )
+        (self._score, self._lse, self._eos, self._c, self._h, self._htop) = caches
+
+        if len(self._frames) <= pos:
+            self._frames.append(nodes)
+            self._bp.append(None)
+            self._finals.append(None)
+        self._frames[pos] = nodes
+        self._bp[pos] = tuple(np.asarray(a) for a in (src, selp, seln))
+        self._finals[pos] = np.asarray(finals)
+        return self.results(n_best)
+
+    def pop(self) -> None:
+        """Backspace: drop the last kana; cached prefix stays valid."""
+        assert self.kana, "nothing to pop"
+        self.kana = self.kana[:-1]
+
+    def results(self, n_best: int = 1) -> List[DecodeResult]:
+        T = len(self.kana)
+        if T == 0:
+            return []
+        finals = self._finals[T]
+        order = np.argsort(-finals, kind="stable")[:n_best]
+        out = []
+        for b in order:
+            if finals[b] <= -1e29:
+                continue
+            segs: List[Tuple[str, int]] = []
+            pos, bi = T, int(b)
+            while pos > 0:
+                src, selp, seln = self._bp[pos]
+                node = self._frames[pos][int(seln[bi])]
+                segs.append((node.display, node.word_id))
+                pos, bi = int(src[bi]), int(selp[bi])
+            segs.reverse()
+            out.append(
+                DecodeResult(
+                    surface="".join(d for d, _ in segs),
+                    score=float(finals[b]),
+                    segments=segs,
+                )
+            )
+        return out

@@ -22,6 +22,7 @@ from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from jlm_tpu.config import Config
 
@@ -102,6 +103,52 @@ def head_logits(
             outs.append(jnp.dot(hs, _w(blk["W"]), precision=precision) + blk["b"])
         return jnp.concatenate(outs, axis=1)
     return jnp.dot(h_top, _w(head["W"]), precision=precision) + head["b"]
+
+
+def candidate_logits(
+    params: Dict[str, Any],
+    config: Config,
+    h_top: jnp.ndarray,  # [..., H]
+    words: jnp.ndarray,  # [N] global word ids
+    precision: str = "highest",
+) -> jnp.ndarray:
+    """Unnormalized logits for specific vocab columns only: ``[..., N]``.
+
+    The incremental decoder's lazy scoring path (SURVEY.md §4.7): gathers
+    just the candidate columns of the output matrix instead of projecting
+    the whole vocab.  Combined with a cached per-path logsumexp this prices
+    a keystroke at O(N·H) instead of O(V·H).
+    """
+    head = params["head"]
+    if "blocks" in head:
+        cfg = config.dsoftmax
+        sizes = np.asarray(cfg.block_sizes, np.int64)
+        bases = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        out = jnp.zeros(h_top.shape[:-1] + (words.shape[0],), jnp.float32)
+        offset = 0
+        for k, blk in enumerate(head["blocks"]):
+            d = cfg.block_dims[k]
+            if cfg.mode == "prefix":
+                hs = h_top[..., :d]
+            else:
+                hs = h_top[..., offset : offset + d]
+                offset += d
+            in_blk = (words >= bases[k]) & (words < bases[k] + sizes[k])
+            local = jnp.clip(words - bases[k], 0, sizes[k] - 1)
+            W = _w(blk["W"])  # [d, s_k]
+            cols = jnp.take(W, local, axis=1)  # [d, N]
+            vals = (
+                jnp.einsum("...d,dn->...n", hs, cols, precision=precision)
+                + blk["b"][local]
+            )
+            out = jnp.where(in_blk, vals, out)
+        return out
+    W = _w(head["W"])
+    cols = jnp.take(W, words, axis=1)  # [H, N]
+    return (
+        jnp.einsum("...h,hn->...n", h_top, cols, precision=precision)
+        + head["b"][words]
+    )
 
 
 def log_softmax(logits: jnp.ndarray) -> jnp.ndarray:
