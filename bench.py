@@ -51,6 +51,7 @@ def main():
         hidden_size=512,
         num_layers=1,
         beam_width=10,
+        n_best_max=1,  # top-1 bench: keep the fetched path payload minimal
         seed=0,
     )
     vocab = build_vocab(generate_corpus(2000, seed=1234), config.vocab_size)

@@ -70,6 +70,7 @@ class Config:
 
     # --- decoding (SURVEY.md §4.5-4.7) ---
     beam_width: int = 10
+    n_best_max: int = 4  # how many beams the device walks back per sentence
     max_word_len: int = 5       # max reading length considered in the lattice
     max_kana_len: int = 62      # T_max: static frame count for the device scan
     max_nodes_per_frame: int = 16   # N_max: padded nodes ending at a position

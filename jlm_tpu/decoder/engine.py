@@ -4,33 +4,40 @@ TPU-first re-design of the reference's decode loop (ref:
 JLM:decoder/decoder.py ``Decoder.decode`` — SURVEY.md §4.6, §5.4).  The
 reference interleaves Python lattice bookkeeping with one numpy LM call per
 frame; a literal port would pay a host↔device round trip per frame
-(SURVEY.md §9.3.1 ranks this the #1 hard part).  Here the ENTIRE search is
-one jitted ``lax.scan`` over frames:
+(SURVEY.md §9.3.1 ranks this the #1 hard part).  Here the ENTIRE search —
+for a whole BATCH of independent lattices — is one jitted ``lax.scan``
+over frames:
 
-- the lattice is encoded host-side as static-shape padded tensors
-  (:mod:`jlm_tpu.decoder.lattice`);
+- lattices are packed host-side into ONE ``[S, T_max, N]`` int32 tensor
+  (word|start|cand_idx|mask bit-packed) to minimize upload latency; the
+  per-position candidate ("lookahead") table is reconstructed on device by
+  a single scatter;
 - beams, LSTM states, and per-position forward caches live in device
-  arrays indexed by kana position;
-- each scan step does: gather cached candidate log-probs → score all
-  (node × path) extensions → masked ``lax.top_k`` prune → gather surviving
-  states → ONE batched LM forward for the new beam;
-- only compact backpointer arrays return to the host, which walks them to
-  recover surfaces.
+  arrays indexed by (sentence, kana position);
+- each scan step: gather cached candidate log-probs → score all
+  (node × path) extensions → per-sentence stable ``lax.top_k`` prune →
+  flat-index gather of surviving states → ONE batched LM forward over all
+  ``S·B`` beam rows (a single MXU-sized matmul);
+- backtracking runs on device; only ``[S, K, T_max, 2]`` int16 paths and
+  final scores return to the host.
 
-Parity with the numpy oracle is exact in fp32 because both use the same
-cached-forward formulation, extension enumeration order (node-major,
-path-minor — the flat index is ``n * B + p``), stable top-k tie-breaking
-(``lax.top_k`` prefers lower flat indices on ties), and max-subtracted
-log-softmax.
+Batched-first matters on TPU: every gather is expressed as
+``take_along_axis`` over a leading batch axis (XLA lowers these to fast
+batched gathers), never per-sentence ``vmap`` of advanced indexing, which
+scalarizes.  ``decode()`` is the S=1 case of ``decode_batch()``.
 
-The LM forward is pluggable (``forward_fn``) so the full-softmax jnp head,
-the D-softmax head, the Pallas int8 kernel, and the vocab-sharded
+Parity with the numpy oracle is exact in fp32: same cached-forward
+formulation, same extension enumeration order (node-major, path-minor —
+flat index ``n·B + p``), same stable top-k tie-break (``lax.top_k``
+prefers lower flat indices), same max-subtracted log-softmax.
+
+The LM forward is pluggable (``forward_fn``, batched signature) so the
+full-softmax jnp head, the Pallas int8 kernel head, and the vocab-sharded
 ``shard_map`` head all drive the same search skeleton.
 """
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
@@ -45,94 +52,247 @@ from jlm_tpu.decoder.lattice import Lattice, build_lattice
 from jlm_tpu.models.lstm import initial_state, step_logp
 from jlm_tpu.oracle.decoder import DecodeResult
 
-# forward_fn(params, word_ids[B], state, cand_words[C]) ->
-#     (cand_logp[B, C], eos_logp[B], new_state)
+# Batched LM forward over all beam rows:
+#   forward_fn(params, words [S, B], state (c,h) [L, S*B, H], cand [S, C])
+#     -> (cand_logp [S, B, C], eos_logp [S, B], new_state [L, S*B, H])
 ForwardFn = Callable[..., Tuple[jnp.ndarray, jnp.ndarray, Any]]
+
+# bit-packing layout for the lattice upload (see pack_lattice_batch)
+_WORD_BITS = 17  # vocab ids < 131072
+_START_SHIFT = 17  # start position: 6 bits (T_max <= 63)
+_CIDX_SHIFT = 23  # lookahead column: 6 bits (C_max <= 64)
+_MASK_SHIFT = 29
 
 
 def full_softmax_forward(
-    params, config: Config, word_ids, state, cand_words, precision="highest"
+    params, config: Config, words, state, cand_words, precision="highest"
 ):
-    """Reference forward: full [B, V] log-softmax then candidate gather."""
-    logp, state = step_logp(params, config, word_ids, state, precision)
-    return logp[:, cand_words], logp[:, EOS_ID], state
+    """Batched reference forward: full log-softmax then candidate gather."""
+    S, B = words.shape
+    logp, state = step_logp(params, config, words.reshape(S * B), state, precision)
+    lp = logp.reshape(S, B, -1)
+    cand_logp = jnp.take_along_axis(
+        lp, cand_words[:, None, :], axis=2
+    )  # [S, B, C]
+    return cand_logp, lp[:, :, EOS_ID], state
+
+
+def make_pallas_forward(
+    config: Config,
+    compute_dtype=None,
+    interpret: Optional[bool] = None,
+    tile_v: int = 2048,
+) -> ForwardFn:
+    """Batched ForwardFn using the Pallas projection kernel for the head.
+
+    The kernel computes the global logsumexp over vocab tiles with
+    in-kernel int8 dequant (never materializing ``[S·B, V]`` logits in
+    HBM); candidate logits come from a per-sentence output-column gather
+    (:func:`jlm_tpu.models.lstm.candidate_logits` pattern).  ``interpret``
+    defaults to True off-TPU so the path stays CPU-testable.
+    """
+    from jlm_tpu.models.lstm import _w, embed, lstm_step
+    from jlm_tpu.ops.project import project_lse
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if compute_dtype is None:
+        compute_dtype = jnp.float32
+
+    def forward(params, words, state, cand_words):
+        S, B = words.shape
+        x = embed(params, words.reshape(S * B))
+        h_top, state = lstm_step(params, config, x, state, precision="highest")
+        lse = project_lse(
+            h_top, params["head"], config,
+            tile_v=tile_v, compute_dtype=compute_dtype, interpret=interpret,
+        )  # [S*B, 1]
+        # candidate + eos raw logits: per-sentence column gather of the head
+        ids = jnp.concatenate(
+            [cand_words, jnp.full((S, 1), EOS_ID, jnp.int32)], axis=1
+        )  # [S, C+1]
+        raw = _candidate_logits_batched(params["head"], config, h_top, ids, S, B)
+        logp = raw - lse.reshape(S, B, 1)
+        return logp[:, :, :-1], logp[:, :, -1], state
+
+    return forward
+
+
+def _candidate_logits_batched(head, config: Config, h_flat, ids, S, B):
+    """Raw logits for per-sentence candidate columns: [S, B, C+1].
+
+    Gathers the needed output-matrix columns (O(C·H) per sentence instead
+    of O(V·H)) with int8 dequant on the gathered columns only.
+    """
+    C1 = ids.shape[1]
+    if "blocks" in head:
+        ds = config.dsoftmax
+        sizes = np.asarray(ds.block_sizes, np.int64)
+        bases = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        out = jnp.zeros((S, B, C1), jnp.float32)
+        offset = 0
+        h3 = h_flat.reshape(S, B, -1)
+        for k, blk in enumerate(head["blocks"]):
+            d = ds.block_dims[k]
+            hs = h3[..., :d] if ds.mode == "prefix" else h3[..., offset:offset + d]
+            if ds.mode == "disjoint":
+                offset += d
+            in_blk = (ids >= bases[k]) & (ids < bases[k] + sizes[k])
+            local = jnp.clip(ids - bases[k], 0, sizes[k] - 1)
+            W = blk["W"]
+            if isinstance(W, dict):
+                cols = jnp.take(W["q"], local, axis=1).astype(jnp.float32)
+                cols = cols * jnp.take(W["scale"], local)[:, None, :]
+            else:
+                cols = jnp.take(W, local, axis=1)  # [d, S, C1]? no: axis=1 ids [S,C1] -> [d, S, C1]
+            cols = jnp.moveaxis(cols, 0, -1)  # [S, C1, d]
+            vals = jnp.einsum("sbd,scd->sbc", hs, cols) + jnp.take(blk["b"], local)[:, None, :]
+            out = jnp.where(in_blk[:, None, :], vals, out)
+        return out
+    W = head["W"]
+    if isinstance(W, dict):
+        cols = jnp.take(W["q"], ids, axis=1).astype(jnp.float32)  # [H, S, C1]
+        cols = cols * jnp.take(W["scale"], ids)[None, :, :]
+    else:
+        cols = jnp.take(W, ids, axis=1)  # [H, S, C1]
+    cols = jnp.moveaxis(cols, 0, -1)  # [S, C1, H]
+    h3 = h_flat.reshape(S, B, -1)
+    return jnp.einsum("sbh,sch->sbc", h3, cols) + jnp.take(head["b"], ids)[:, None, :]
+
+
+def pack_lattice_batch(lattices: List[Lattice]) -> Tuple[np.ndarray, np.ndarray]:
+    """Bit-pack node tensors of a lattice batch into one int32 array.
+
+    Layout per node: ``word | start<<17 | cand_idx<<23 | mask<<29`` — a
+    single ``[S, T_max, N]`` upload instead of six tensors (the host link
+    has ~200 ms fixed latency per transfer; SURVEY.md §9.3.1).
+    """
+    words = np.stack([l.node_word for l in lattices]).astype(np.int64)
+    starts = np.stack([l.node_start for l in lattices]).astype(np.int64)
+    cidx = np.stack([l.node_cand_idx for l in lattices]).astype(np.int64)
+    mask = np.stack([l.node_mask for l in lattices]).astype(np.int64)
+    assert words.max(initial=0) < (1 << _WORD_BITS), "vocab too large to pack"
+    assert starts.max(initial=0) < 64 and cidx.max(initial=0) < 64
+    packed = words | (starts << _START_SHIFT) | (cidx << _CIDX_SHIFT) | (
+        mask << _MASK_SHIFT
+    )
+    lengths = np.asarray([l.length for l in lattices], np.int32)
+    return packed.astype(np.int32), lengths
+
+
+def _unpack_lattice(packed, config: Config):
+    """Device-side unpack + lookahead-table reconstruction (one scatter)."""
+    T_max = config.max_kana_len
+    C = config.max_lookahead
+    word = packed & ((1 << _WORD_BITS) - 1)
+    start = (packed >> _START_SHIFT) & 0x3F
+    cidx = (packed >> _CIDX_SHIFT) & 0x3F
+    mask = ((packed >> _MASK_SHIFT) & 1) == 1
+
+    S = packed.shape[0]
+    flat_pos = start * C + cidx
+    oob = (T_max + 1) * C  # out-of-bounds => dropped by the scatter
+    flat_pos = jnp.where(mask, flat_pos, oob)
+    s_idx = jnp.broadcast_to(
+        jnp.arange(S)[:, None, None], packed.shape
+    )
+    look_flat = jnp.full((S, (T_max + 1) * C), -1, jnp.int32)
+    look_flat = look_flat.at[s_idx, flat_pos].set(word, mode="drop")
+    look_w = look_flat.reshape(S, T_max + 1, C)
+    look_m = look_w >= 0
+    look_w = jnp.maximum(look_w, 0)
+    return word, start, cidx, mask, look_w, look_m
 
 
 def _decode_scan(
     params,
-    node_word,  # int32 [T_max, N]
-    node_start,  # int32 [T_max, N]
-    node_mask,  # bool  [T_max, N]
-    node_cand_idx,  # int32 [T_max, N]
-    lookahead_words,  # int32 [T_max + 1, C]
-    lookahead_mask,  # bool  [T_max + 1, C]
-    length,  # int32 scalar (T)
+    packed,  # int32 [S, T_max, N] (pack_lattice_batch)
+    lengths,  # int32 [S]
     *,
     config: Config,
     forward_fn: ForwardFn,
 ):
-    T_max = config.max_kana_len
+    S, T_max, N = packed.shape
+    assert T_max == config.max_kana_len
     B = config.beam_pad
     C = config.max_lookahead
     L, H = config.num_layers, config.hidden_size
     NEG = jnp.float32(-1e30)
 
-    # --- position-0 root beam: path 0 alive, fed <eos> from zero state ---
-    c0, h0 = initial_state(config, B)
-    cand0, eos0, (c1, h1) = forward_fn(
-        params, jnp.full((B,), EOS_ID, jnp.int32), (c0, h0), lookahead_words[0]
-    )
-    cand0 = jnp.where(lookahead_mask[0][None, :], cand0, NEG)
+    word, start, cidx, mask, look_w, look_m = _unpack_lattice(packed, config)
 
-    score = jnp.full((T_max + 1, B), NEG).at[0, 0].set(0.0)
-    cand_cache = jnp.zeros((T_max + 1, B, C), jnp.float32).at[0].set(cand0)
-    eos_cache = jnp.zeros((T_max + 1, B), jnp.float32).at[0].set(eos0)
-    c_cache = jnp.zeros((T_max + 1, L, B, H), jnp.float32).at[0].set(c1)
-    h_cache = jnp.zeros((T_max + 1, L, B, H), jnp.float32).at[0].set(h1)
+    # --- position-0 root beam: path 0 alive, fed <eos> from zero state ---
+    c0 = jnp.zeros((L, S * B, H), jnp.float32)
+    h0 = jnp.zeros((L, S * B, H), jnp.float32)
+    cand0, eos0, (c1, h1) = forward_fn(
+        params, jnp.full((S, B), EOS_ID, jnp.int32), (c0, h0), look_w[:, 0]
+    )
+    cand0 = jnp.where(look_m[:, 0][:, None, :], cand0, NEG)
+
+    # caches indexed [S, pos, ...]; states stored as [S, pos, B, L, H] so a
+    # single flat (pos*B + path) take_along_axis gathers survivors.
+    score = jnp.full((S, T_max + 1, B), NEG).at[:, 0, 0].set(0.0)
+    cand_cache = jnp.zeros((S, T_max + 1, B, C)).at[:, 0].set(cand0)
+    eos_cache = jnp.zeros((S, T_max + 1, B)).at[:, 0].set(eos0)
+
+    def state_to_cache(c):  # [L, S*B, H] -> [S, B, L, H]
+        return jnp.moveaxis(c.reshape(L, S, B, H), 0, 2)
+
+    def cache_to_state(g):  # [S, B, L, H] -> [L, S*B, H]
+        return jnp.moveaxis(g, 2, 0).reshape(L, S * B, H)
+
+    c_cache = jnp.zeros((S, T_max + 1, B, L, H)).at[:, 0].set(state_to_cache(c1))
+    h_cache = jnp.zeros((S, T_max + 1, B, L, H)).at[:, 0].set(state_to_cache(h1))
 
     def step(carry, xs):
         score, cand_cache, eos_cache, c_cache, h_cache = carry
-        pos, words, starts, mask, cand_idx, look_w, look_m = xs
+        pos, words_t, starts_t, mask_t, cidx_t, look_w_t, look_m_t = xs
+        # words_t/starts_t/... [S, N]; look_*_t [S, C]
 
-        # Extension scores [N, B]: cached logp of each node's word from each
-        # path of the beam at the node's start position.
-        cand_rows = cand_cache[starts]  # [N, B, C]
+        # Extension scores [S, N, B]: cached logp of each node's word from
+        # each path of the beam at the node's start position.
+        cand_rows = jnp.take_along_axis(
+            cand_cache, starts_t[:, :, None, None], axis=1
+        )  # [S, N, B, C]
         ext_logp = jnp.take_along_axis(
-            cand_rows, cand_idx[:, None, None], axis=2
-        )[:, :, 0]
-        ext = score[starts] + ext_logp  # [N, B]
-        ext = jnp.where(mask[:, None], ext, NEG)
+            cand_rows, cidx_t[:, :, None, None], axis=3
+        )[..., 0]  # [S, N, B]
+        ext = jnp.take_along_axis(score, starts_t[:, :, None], axis=1) + ext_logp
+        ext = jnp.where(mask_t[:, :, None], ext, NEG)
 
-        # Stable top-k over the flat (node-major, path-minor) enumeration.
-        # Slots beyond the true beam width are padding: force them dead so
-        # the padded beam is exactly the reference's width-``beam_width``
-        # beam (parity even when beam_width < beam_pad).
-        top_scores, top_idx = jax.lax.top_k(ext.reshape(-1), B)
-        slot_alive = jnp.arange(B) < config.beam_width
-        top_scores = jnp.where(slot_alive, top_scores, NEG)
+        # Per-sentence stable top-k over the flat (node-major, path-minor)
+        # enumeration; padding slots beyond beam_width stay dead so the
+        # beam is exactly the reference's width (parity rule).
+        top_scores, top_idx = jax.lax.top_k(ext.reshape(S, N * B), B)
+        top_scores = jnp.where(jnp.arange(B) < config.beam_width, top_scores, NEG)
         sel_n = top_idx // B
         sel_p = top_idx % B
-        src_pos = starts[sel_n]  # [B]
-        new_words = words[sel_n]  # [B]
+        src_pos = jnp.take_along_axis(starts_t, sel_n, axis=1)  # [S, B]
+        new_words = jnp.take_along_axis(words_t, sel_n, axis=1)  # [S, B]
 
-        # Gather surviving LSTM states: [B, L, H] → [L, B, H].
-        new_c = jnp.moveaxis(c_cache[src_pos, :, sel_p, :], 0, 1)
-        new_h = jnp.moveaxis(h_cache[src_pos, :, sel_p, :], 0, 1)
-
-        # One batched LM forward for the finalized beam.
-        cand_new, eos_new, (c_new, h_new) = forward_fn(
-            params, new_words, (new_c, new_h), look_w
+        # Gather surviving LSTM states with ONE flat (pos*B + path) index.
+        flat = (src_pos * B + sel_p)[:, :, None, None]  # [S, B, 1, 1]
+        csel = jnp.take_along_axis(
+            c_cache.reshape(S, (T_max + 1) * B, L, H), flat, axis=1
         )
-        cand_new = jnp.where(look_m[None, :], cand_new, NEG)
-        # Dead beam slots (score -inf) must stay -inf when extended.
-        alive = top_scores > NEG / 2
-        cand_new = jnp.where(alive[:, None], cand_new, NEG)
+        hsel = jnp.take_along_axis(
+            h_cache.reshape(S, (T_max + 1) * B, L, H), flat, axis=1
+        )
 
-        score = score.at[pos].set(top_scores)
-        cand_cache = cand_cache.at[pos].set(cand_new)
-        eos_cache = eos_cache.at[pos].set(eos_new)
-        c_cache = c_cache.at[pos].set(c_new)
-        h_cache = h_cache.at[pos].set(h_new)
+        # One batched LM forward over all S·B beam rows.
+        cand_new, eos_new, (c_new, h_new) = forward_fn(
+            params, new_words, (cache_to_state(csel), cache_to_state(hsel)),
+            look_w_t,
+        )
+        cand_new = jnp.where(look_m_t[:, None, :], cand_new, NEG)
+        alive = top_scores > NEG / 2
+        cand_new = jnp.where(alive[:, :, None], cand_new, NEG)
+
+        score = score.at[:, pos].set(top_scores)
+        cand_cache = cand_cache.at[:, pos].set(cand_new)
+        eos_cache = eos_cache.at[:, pos].set(eos_new)
+        c_cache = c_cache.at[:, pos].set(state_to_cache(c_new))
+        h_cache = h_cache.at[:, pos].set(state_to_cache(h_new))
         return (
             (score, cand_cache, eos_cache, c_cache, h_cache),
             (src_pos, sel_p, sel_n),
@@ -140,35 +300,69 @@ def _decode_scan(
 
     xs = (
         jnp.arange(1, T_max + 1),
-        node_word,
-        node_start,
-        node_mask,
-        node_cand_idx,
-        lookahead_words[1:],
-        lookahead_mask[1:],
+        jnp.moveaxis(word, 1, 0),  # [T_max, S, N]
+        jnp.moveaxis(start, 1, 0),
+        jnp.moveaxis(mask, 1, 0),
+        jnp.moveaxis(cidx, 1, 0),
+        jnp.moveaxis(look_w[:, 1:], 1, 0),  # [T_max, S, C]
+        jnp.moveaxis(look_m[:, 1:], 1, 0),
     )
     carry = (score, cand_cache, eos_cache, c_cache, h_cache)
-    (score, cand_cache, eos_cache, c_cache, h_cache), bp = jax.lax.scan(
-        step, carry, xs
-    )
-    bp_src, bp_p, bp_n = bp  # each [T_max, B]
+    (score, cand_cache, eos_cache, _, _), bp = jax.lax.scan(step, carry, xs)
+    bp_src, bp_p, bp_n = bp  # each [T_max, S, B]
 
-    # Final <eos> rescoring at the true length T (SURVEY.md §4.6).
-    final = score[length] + eos_cache[length]
+    # Final <eos> rescoring at each sentence's true length (SURVEY.md §4.6).
+    lcol = lengths[:, None]
+    final = (
+        jnp.take_along_axis(score, lcol[:, :, None], axis=1)[:, 0]
+        + jnp.take_along_axis(eos_cache, lcol[:, :, None], axis=1)[:, 0]
+    )  # [S, B]
+
+    # Device-side backtracking for the top-K beams; only compact paths are
+    # fetched (host link: ~200 ms latency per transfer, keep payload tiny).
+    K = min(config.n_best_max, B)
+    top_vals, top_beams = jax.lax.top_k(final, K)  # [S, K]
+    bp_src_s = jnp.moveaxis(bp_src, 1, 0)  # [S, T_max, B]
+    bp_p_s = jnp.moveaxis(bp_p, 1, 0)
+    bp_n_s = jnp.moveaxis(bp_n, 1, 0)
+
+    def wstep(carry, _):
+        pos, bi = carry  # [S, K] each
+        p = jnp.maximum(pos - 1, 0)  # [S, K]
+        valid = pos > 0
+
+        def gather_bp(bp):  # bp [S, T_max, B] -> [S, K]
+            rows = jnp.take_along_axis(bp, p[:, :, None], axis=1)  # [S, K, B]
+            return jnp.take_along_axis(rows, bi[:, :, None], axis=2)[..., 0]
+
+        node = gather_bp(bp_n_s)
+        out = jnp.where(
+            valid[:, :, None],
+            jnp.stack([pos, node], axis=-1),
+            jnp.zeros((S, K, 2), jnp.int32),
+        )
+        nxt = (
+            jnp.where(valid, gather_bp(bp_src_s), pos),
+            jnp.where(valid, gather_bp(bp_p_s), bi),
+        )
+        return nxt, out
+
+    init = (jnp.broadcast_to(lengths[:, None], (S, K)), top_beams)
+    _, paths = jax.lax.scan(wstep, init, None, length=T_max)
+    paths = jnp.moveaxis(paths, 0, 2)  # [S, K, T_max, 2], end-to-start
+
     return {
-        "final": final,  # [B]
-        "score": score,  # [T_max+1, B]
-        "bp_src": bp_src,
-        "bp_p": bp_p,
-        "bp_n": bp_n,
+        "final_topk": top_vals,  # [S, K]
+        "paths": paths.astype(jnp.int16),  # small ints: cheap to fetch
     }
 
 
 class BeamDecoder:
-    """Host wrapper: lattice build → one device call → backpointer walk.
+    """Host wrapper: lattice build + pack → one device call → surfaces.
 
     Mirrors the reference's ``Decoder`` API (``decode(kana, top_n)``) while
-    keeping every per-frame operation on device.
+    keeping every per-frame operation on device; ``decode_batch`` is the
+    streaming batched entry (BASELINE config 5's per-chip unit).
     """
 
     def __init__(
@@ -193,93 +387,52 @@ class BeamDecoder:
         self._decode_jit = jax.jit(
             functools.partial(_decode_scan, config=config, forward_fn=fwd)
         )
-        self._decode_vmapped = jax.jit(
-            jax.vmap(
-                functools.partial(_decode_scan, config=config, forward_fn=fwd),
-                in_axes=(None,) + (0,) * 7,
-            ),
-            static_argnums=(),
-        )
-
-    def _device_pass(self, lattice: Lattice) -> Dict[str, np.ndarray]:
-        out = self._decode_jit(
-            self.params,
-            node_word=jnp.asarray(lattice.node_word),
-            node_start=jnp.asarray(lattice.node_start),
-            node_mask=jnp.asarray(lattice.node_mask),
-            node_cand_idx=jnp.asarray(lattice.node_cand_idx),
-            lookahead_words=jnp.asarray(lattice.lookahead_words),
-            lookahead_mask=jnp.asarray(lattice.lookahead_mask),
-            length=jnp.int32(lattice.length),
-        )
-        return jax.tree.map(np.asarray, out)
-
-    def _backtrack(
-        self, lattice: Lattice, out: Dict[str, np.ndarray], beam: int
-    ) -> List[Tuple[str, int]]:
-        segs: List[Tuple[str, int]] = []
-        pos, b = lattice.length, beam
-        while pos > 0:
-            n = int(out["bp_n"][pos - 1, b])
-            node = lattice.frames[pos][n]
-            segs.append((node.display, node.word_id))
-            pos, b = int(out["bp_src"][pos - 1, b]), int(out["bp_p"][pos - 1, b])
-        segs.reverse()
-        return segs
 
     def results_from_output(
-        self, lattice: Lattice, out: Dict[str, np.ndarray], n_best: int
+        self, lattice: Lattice, finals: np.ndarray, paths: np.ndarray,
+        n_best: int,
     ) -> List[DecodeResult]:
-        final = out["final"]
-        order = np.argsort(-final, kind="stable")[:n_best]
+        """Materialize surfaces from device-walked paths for one sentence."""
+        assert n_best <= self.config.n_best_max, (
+            f"n_best={n_best} exceeds config.n_best_max="
+            f"{self.config.n_best_max}"
+        )
         results = []
-        for b in order:
-            if final[b] <= -1e29:
+        for k in range(min(n_best, len(finals))):
+            if finals[k] <= -1e29:
                 continue
-            segs = self._backtrack(lattice, out, int(b))
+            segs: List[Tuple[str, int]] = []
+            for pos, n in paths[k]:
+                if pos <= 0:
+                    break
+                node = lattice.frames[int(pos)][int(n)]
+                segs.append((node.display, node.word_id))
+            segs.reverse()
             results.append(
                 DecodeResult(
                     surface="".join(d for d, _ in segs),
-                    score=float(final[b]),
+                    score=float(finals[k]),
                     segments=segs,
                 )
             )
         return results
 
-    def decode(self, kana: str, n_best: int = 1) -> List[DecodeResult]:
-        lattice = build_lattice(kana, self.lexicon, self.vocab, self.config)
-        out = self._device_pass(lattice)
-        return self.results_from_output(lattice, out, n_best)
-
     def decode_batch(
         self, kanas: List[str], n_best: int = 1
     ) -> List[List[DecodeResult]]:
-        """Streaming batched conversion: S independent lattices in one call.
-
-        The vmapped scan is the data-parallel unit; under a mesh the leading
-        axis shards over the ``data`` axis (SURVEY.md §3.3, BASELINE
-        config 5).
-        """
         lattices = [
             build_lattice(k, self.lexicon, self.vocab, self.config) for k in kanas
         ]
-        stack = lambda name: jnp.asarray(
-            np.stack([getattr(l, name) for l in lattices])
+        packed, lengths = pack_lattice_batch(lattices)
+        out = self._decode_jit(
+            self.params, jnp.asarray(packed), jnp.asarray(lengths)
         )
-        out = self._decode_vmapped(
-            self.params,
-            stack("node_word"),
-            stack("node_start"),
-            stack("node_mask"),
-            stack("node_cand_idx"),
-            stack("lookahead_words"),
-            stack("lookahead_mask"),
-            jnp.asarray([l.length for l in lattices], jnp.int32),
-        )
-        out = jax.tree.map(np.asarray, out)
+        finals = np.asarray(out["final_topk"])
+        paths = np.asarray(out["paths"])
         return [
-            self.results_from_output(
-                lattices[i], jax.tree.map(lambda a: a[i], out), n_best
-            )
+            self.results_from_output(lattices[i], finals[i], paths[i], n_best)
             for i in range(len(lattices))
         ]
+
+    def decode(self, kana: str, n_best: int = 1) -> List[DecodeResult]:
+        return self.decode_batch([kana], n_best)[0]

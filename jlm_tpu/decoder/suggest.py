@@ -1,0 +1,72 @@
+"""Next-word prediction / suggestion API.
+
+The reference LM doubles as an IME suggestion engine — predict the most
+likely next words given the committed context (ref: JLM:decoder/ predict
+path, arXiv:1810.09309's input-prediction use case).  ``Suggester`` runs
+the context through the LSTM once and returns the top-k next words; the
+sharded variant keeps the full head vocab-sharded and uses the
+globally-consistent :func:`jlm_tpu.parallel.sharded_topk`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jlm_tpu.config import Config, EOS_ID
+from jlm_tpu.data.corpus import Vocab
+from jlm_tpu.models.lstm import initial_state, step_logp
+
+
+class Suggester:
+    def __init__(
+        self,
+        params,
+        vocab: Vocab,
+        config: Config,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        precision: str = "highest",
+    ):
+        self.params = params
+        self.vocab = vocab
+        self.config = config
+        self.mesh = mesh
+
+        def run(params, ids, k):
+            # feed <eos> then the context; suggestion comes from final logp
+            seq = jnp.concatenate([jnp.array([EOS_ID], jnp.int32), ids])
+            state = initial_state(config, 1)
+
+            def body(state, w):
+                logp, state = step_logp(params, config, w[None], state, precision)
+                return state, logp[0]
+
+            _, logps = jax.lax.scan(body, state, seq)
+            return logps[-1]
+
+        self._run = jax.jit(run, static_argnums=(2,))
+
+    def suggest(
+        self, context_ids: Sequence[int], k: int = 5
+    ) -> List[Tuple[str, float]]:
+        """Top-k (display, logp) continuations of the committed context."""
+        ids = jnp.asarray(list(context_ids), jnp.int32)
+        logp = self._run(self.params, ids, k)
+        if self.mesh is not None:
+            from jlm_tpu.parallel import sharded_topk
+
+            vals, idx = sharded_topk(self.mesh, logp[None, :], k)
+            vals, idx = np.asarray(vals)[0], np.asarray(idx)[0]
+        else:
+            vals, idx = jax.lax.top_k(logp, k)
+            vals, idx = np.asarray(vals), np.asarray(idx)
+        # model vocab may be padded beyond the materialized token list
+        nv = len(self.vocab)
+        return [
+            (self.vocab.display(int(i)) if i < nv else "<pad>", float(v))
+            for v, i in zip(vals, idx)
+        ]

@@ -1,0 +1,302 @@
+"""Pallas TPU kernel: output projection + online logsumexp + candidate gather.
+
+The build's hottest op (SURVEY.md §4.4: at V=50k, H=512 the output matmul
+dominates total FLOPs — ~25× the LSTM cell) and the designated native
+kernel #2 of SURVEY.md §3.2: vocab-tiled projection with **in-kernel int8
+dequantization** (int8 tiles load from HBM, dequant in VMEM, feed the MXU)
+replacing the reference's numpy segmented matmul + Python-side dequant
+(ref: JLM:decoder/ model file, D-softmax inference path).
+
+Design: grid over vocab tiles; per tile
+  1. dequant the ``[H, TV]`` int8 weight tile with its per-column scales,
+  2. one MXU matmul ``h @ W_tile`` → tile logits,
+  3. online logsumexp update (running max + rescaled sum in VMEM scratch),
+  4. candidate extraction via a one-hot MXU matmul (``logits @ onehot``)
+     for the decoder's lattice candidates,
+without ever materializing ``[B, V]`` logits in HBM.  The kernel emits the
+raw triple ``(cand_logits, running_max, sumexp)`` so the D-softmax head can
+run one call per frequency block (each block a smaller ``[d_k, s_k]``
+matmul — the D-softmax FLOP saving) and merge the partial logsumexps with
+three lines of jnp; the full-softmax wrapper is the single-block case.
+fp32/bf16 weights reuse the same kernel with unit scales.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from jlm_tpu.config import Config
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _proj_kernel(
+    cand_ref,  # int32 [1, C]     candidate ids, block-local (VMEM, full)
+    h_ref,  # fp [B, D]            hidden rows (VMEM, full)
+    w_ref,  # int8/fp [D, TV]      weight tile
+    scale_ref,  # fp32 [1, TV]     per-column scales (ones if unquantized)
+    b_ref,  # fp32 [1, TV]         bias tile
+    cand_out_ref,  # fp32 [B, C]   raw candidate logits (0 if not in block)
+    m_out_ref,  # fp32 [B, 128]    running max (col 0)
+    s_out_ref,  # fp32 [B, 128]    sumexp relative to the max (col 0)
+    *,
+    tile_v: int,
+    compute_dtype,
+):
+    v = pl.program_id(0)
+    nv = pl.num_programs(0)
+
+    @pl.when(v == 0)
+    def _init():
+        m_out_ref[:] = jnp.full_like(m_out_ref, -1e30)
+        s_out_ref[:] = jnp.zeros_like(s_out_ref)
+        cand_out_ref[:] = jnp.zeros_like(cand_out_ref)
+
+    w = w_ref[:].astype(jnp.float32) * scale_ref[0, :][None, :]
+    logits = (
+        jnp.dot(
+            h_ref[:].astype(compute_dtype),
+            w.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        + b_ref[0, :][None, :]
+    )  # [B, TV] fp32
+
+    # online logsumexp over vocab tiles
+    m_old = m_out_ref[:, :1]
+    m_new = jnp.maximum(m_old, jnp.max(logits, axis=1, keepdims=True))
+    s_out_ref[:, :1] = s_out_ref[:, :1] * jnp.exp(m_old - m_new) + jnp.sum(
+        jnp.exp(logits - m_new), axis=1, keepdims=True
+    )
+    m_out_ref[:, :1] = m_new
+
+    # candidate extraction: one-hot [TV, C] matmul on the MXU
+    col = jax.lax.broadcasted_iota(
+        jnp.int32, (tile_v, cand_out_ref.shape[1]), 0
+    )
+    onehot = (col + v * tile_v == cand_ref[0, :][None, :]).astype(jnp.float32)
+    cand_out_ref[:] += jnp.dot(logits, onehot, preferred_element_type=jnp.float32)
+
+
+def _project_block(
+    h: jnp.ndarray,  # [B_pad, D] fp32 (D = block input dim)
+    weight: jnp.ndarray,  # [D, S] int8 or fp32 (S = block vocab size)
+    scale: Optional[jnp.ndarray],  # [S] or None
+    bias: jnp.ndarray,  # [S]
+    cand_local: jnp.ndarray,  # [C_pad] int32 block-local ids (<0 = not in block)
+    *,
+    tile_v: int,
+    compute_dtype,
+    interpret: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One frequency block → raw (cand [B,C], m [B,1], s [B,1])."""
+    B, D = h.shape
+    S = weight.shape[1]
+    C = cand_local.shape[0]
+    tv = min(tile_v, _round_up(S, 128))
+    S_pad = _round_up(S, tv)
+    if S_pad != S:
+        weight = jnp.pad(weight, ((0, 0), (0, S_pad - S)))
+        bias = jnp.pad(bias, (0, S_pad - S), constant_values=-1e30)
+        if scale is not None:
+            scale = jnp.pad(scale, (0, S_pad - S))
+    if scale is None:
+        scale = jnp.ones((S_pad,), jnp.float32)
+
+    cand, m, s = pl.pallas_call(
+        functools.partial(_proj_kernel, tile_v=tv, compute_dtype=compute_dtype),
+        grid=(S_pad // tv,),
+        in_specs=[
+            pl.BlockSpec((1, C), lambda v: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, D), lambda v: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, tv), lambda v: (0, v), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tv), lambda v: (0, v), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tv), lambda v: (0, v), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((B, C), lambda v: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 128), lambda v: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 128), lambda v: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, 128), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * D * S_pad,
+            bytes_accessed=D * S_pad * weight.dtype.itemsize
+            + B * D * 4
+            + B * C * 4,
+            transcendentals=B * S_pad,
+        ),
+        interpret=interpret,
+    )(
+        cand_local.reshape(1, C),
+        h,
+        weight,
+        scale.reshape(1, S_pad).astype(jnp.float32),
+        bias.reshape(1, S_pad).astype(jnp.float32),
+    )
+    return cand, m[:, :1], s[:, :1]
+
+
+def project_candidates(
+    h: jnp.ndarray,  # [B, H] fp32
+    weight: jnp.ndarray,  # [H, V] int8 or fp32
+    scale: Optional[jnp.ndarray],  # [V] fp32 per-column scale (None if fp)
+    bias: jnp.ndarray,  # [V] fp32
+    cand_ids: jnp.ndarray,  # [C] int32 global vocab ids
+    *,
+    tile_v: int = 2048,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Candidate log-probs ``[B, C]`` = ``log softmax(h @ W + b)[:, cand]``."""
+    B, _ = h.shape
+    C = cand_ids.shape[0]
+    B_pad = _round_up(max(B, 8), 8)
+    C_pad = _round_up(max(C, 128), 128)
+    if B_pad != B:
+        h = jnp.pad(h, ((0, B_pad - B), (0, 0)))
+    cand = jnp.full((C_pad,), -1, jnp.int32).at[:C].set(cand_ids.astype(jnp.int32))
+    raw, m, s = _project_block(
+        h, weight, scale, bias, cand,
+        tile_v=tile_v, compute_dtype=compute_dtype, interpret=interpret,
+    )
+    logp = raw - (m + jnp.log(s))
+    return logp[:B, :C]
+
+
+def project_candidates_dsoftmax(
+    h: jnp.ndarray,  # [B, H] fp32
+    blocks: Sequence,  # list of {"W": [d_k, s_k] (or quant dict), "b": [s_k]}
+    config: Config,
+    cand_ids: jnp.ndarray,  # [C] int32 global vocab ids
+    *,
+    tile_v: int = 2048,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """D-softmax candidate log-probs: one kernel call per frequency block.
+
+    Block k multiplies only ``h[:, :d_k]`` (prefix mode) or its disjoint
+    slice — the D-softmax FLOP saving — and the per-block partial
+    ``(cand, m, s)`` triples merge into one global logsumexp (SURVEY.md
+    §4.4).
+    """
+    ds = config.dsoftmax
+    B = h.shape[0]
+    C = cand_ids.shape[0]
+    B_pad = _round_up(max(B, 8), 8)
+    C_pad = _round_up(max(C, 128), 128)
+    if B_pad != B:
+        h = jnp.pad(h, ((0, B_pad - B), (0, 0)))
+    cand = jnp.full((C_pad,), -1, jnp.int32).at[:C].set(cand_ids.astype(jnp.int32))
+
+    sizes = np.asarray(ds.block_sizes, np.int64)
+    bases = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    cand_total = jnp.zeros((B_pad, C_pad), jnp.float32)
+    ms, ss = [], []
+    offset = 0
+    for k, blk in enumerate(blocks):
+        d = ds.block_dims[k]
+        hs = h[:, :d] if ds.mode == "prefix" else h[:, offset : offset + d]
+        if ds.mode == "disjoint":
+            offset += d
+        W = blk["W"]
+        if isinstance(W, dict):
+            w_arr, w_scale = W["q"], W["scale"]
+        else:
+            w_arr, w_scale = W, None
+        in_blk = (cand >= bases[k]) & (cand < bases[k] + sizes[k])
+        local = jnp.where(in_blk, cand - bases[k], -1).astype(jnp.int32)
+        raw, m, s = _project_block(
+            hs, w_arr, w_scale, blk["b"], local,
+            tile_v=tile_v, compute_dtype=compute_dtype, interpret=interpret,
+        )
+        cand_total = cand_total + raw  # raw is 0 where candidate not in block
+        ms.append(m)
+        ss.append(s)
+    m_all = jnp.concatenate(ms, axis=1)  # [B, K]
+    s_all = jnp.concatenate(ss, axis=1)
+    m_g = jnp.max(m_all, axis=1, keepdims=True)
+    s_g = jnp.sum(s_all * jnp.exp(m_all - m_g), axis=1, keepdims=True)
+    logp = cand_total - (m_g + jnp.log(s_g))
+    return logp[:B, :C]
+
+
+def project_lse(
+    h: jnp.ndarray,  # [R, H] fp32 (R = all beam rows, e.g. S*B)
+    head,  # {"W","b"} | {"blocks": [...]}; W may be an int8 quant dict
+    config: Config,
+    *,
+    tile_v: int = 2048,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Per-row log-sum-exp of the full output projection: ``[R, 1]``.
+
+    The normalizer half of the decode head: the batched engine pairs this
+    with a cheap per-sentence candidate-column gather, so the only O(V)
+    work is this kernel — vocab-tiled, int8-dequant in VMEM, logits never
+    leaving the chip.
+    """
+    R = h.shape[0]
+    R_pad = _round_up(max(R, 8), 8)
+    if R_pad != R:
+        h = jnp.pad(h, ((0, R_pad - R), (0, 0)))
+    no_cand = jnp.full((128,), -1, jnp.int32)
+
+    def block_ms(hs, W, b):
+        if isinstance(W, dict):
+            w_arr, w_scale = W["q"], W["scale"]
+        else:
+            w_arr, w_scale = W, None
+        _, m, s = _project_block(
+            hs, w_arr, w_scale, b, no_cand,
+            tile_v=tile_v, compute_dtype=compute_dtype, interpret=interpret,
+        )
+        return m, s
+
+    if "blocks" in head:
+        ds = config.dsoftmax
+        ms, ss = [], []
+        offset = 0
+        for k, blk in enumerate(head["blocks"]):
+            d = ds.block_dims[k]
+            hs = h[:, :d] if ds.mode == "prefix" else h[:, offset:offset + d]
+            if ds.mode == "disjoint":
+                offset += d
+            m, s = block_ms(hs, blk["W"], blk["b"])
+            ms.append(m)
+            ss.append(s)
+        m_all = jnp.concatenate(ms, axis=1)
+        s_all = jnp.concatenate(ss, axis=1)
+        m_g = jnp.max(m_all, axis=1, keepdims=True)
+        s_g = jnp.sum(s_all * jnp.exp(m_all - m_g), axis=1, keepdims=True)
+        lse = m_g + jnp.log(s_g)
+    else:
+        m, s = block_ms(h, head["W"], head["b"])
+        lse = m + jnp.log(s)
+    return lse[:R]
+
+
+def project_candidates_ref(h, weight, scale, bias, cand_ids):
+    """jnp reference implementation for kernel tests."""
+    w = weight.astype(jnp.float32)
+    if scale is not None:
+        w = w * scale[None, :]
+    logits = (h @ w + bias).astype(jnp.float32)
+    m = jnp.max(logits, axis=1, keepdims=True)
+    lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=1, keepdims=True))
+    return logits[:, cand_ids] - lse

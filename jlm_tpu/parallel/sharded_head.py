@@ -161,11 +161,14 @@ def _local_head_logits(
 def make_sharded_forward(
     mesh: jax.sharding.Mesh, config: Config, precision: str = "highest"
 ) -> Callable:
-    """ForwardFn with the output head sharded over the ``vocab`` axis.
+    """Batched ForwardFn with the head sharded over the ``vocab`` axis.
 
+    Engine signature: ``(params, words [S,B], state [L,S*B,H], cand [S,C])``.
     The recurrent core (embedding + LSTM) is tiny next to the head and runs
-    replicated; only per-shard logits, a global logsumexp reduction, and one
-    candidate-logit ``psum`` cross the wire — O(B·C) bytes per frame on ICI.
+    replicated over ``vocab``; beam rows shard over ``data``.  Per frame,
+    only the global logsumexp reduction and one candidate-logit ``psum``
+    cross the wire — O(S·B·C) bytes on ICI — which keeps every shard's
+    beam globally consistent (BASELINE config 3).
     """
     n = mesh.shape[VOCAB_AXIS]
     owner_pos, v_local = _vocab_layout(config, n)
@@ -180,34 +183,42 @@ def make_sharded_forward(
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(head_specs, P(), P()),
-        out_specs=(P(), P()),
+        in_specs=(head_specs, P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
         check_vma=False,
     )
-    def _sharded_head(head, h_top, cand_words):
+    def _sharded_head(head, h_top, ids):
+        # h_top [R_local, H]; ids [S_local, C+1] (eos appended by caller)
+        S_local, C1 = ids.shape
+        B = h_top.shape[0] // S_local
         logits = _local_head_logits(config, head, h_top, precision).astype(
             jnp.float32
-        )
-        # Global log-sum-exp across shards.
-        m = jax.lax.pmax(jnp.max(logits, axis=1), VOCAB_AXIS)  # [B]
+        )  # [R_local, Vl]
+        m = jax.lax.pmax(jnp.max(logits, axis=1), VOCAB_AXIS)
         se = jax.lax.psum(
             jnp.sum(jnp.exp(logits - m[:, None]), axis=1), VOCAB_AXIS
         )
         lse = m + jnp.log(se)
-        # Candidate columns (+ <eos> appended) — each shard contributes the
-        # ids it owns; one psum makes every shard/beam globally consistent.
-        ids = jnp.concatenate([cand_words, jnp.array([EOS_ID], jnp.int32)])
-        owner, pos = owner_pos(ids)
+        # Candidate columns — each shard contributes the ids it owns; one
+        # psum makes every shard/beam globally consistent.
+        owner, pos = owner_pos(ids)  # [S_local, C1]
         mine = owner == jax.lax.axis_index(VOCAB_AXIS)
-        vals = jnp.take(logits, jnp.clip(pos, 0, v_local - 1), axis=1)  # [B, C+1]
-        vals = jnp.where(mine[None, :], vals, 0.0)
-        vals = jax.lax.psum(vals, VOCAB_AXIS) - lse[:, None]
-        return vals[:, :-1], vals[:, -1]
+        lp3 = logits.reshape(S_local, B, v_local)
+        vals = jnp.take_along_axis(
+            lp3, jnp.clip(pos, 0, v_local - 1)[:, None, :], axis=2
+        )  # [S_local, B, C1]
+        vals = jnp.where(mine[:, None, :], vals, 0.0)
+        vals = jax.lax.psum(vals, VOCAB_AXIS) - lse.reshape(S_local, B, 1)
+        return vals[:, :, :-1], vals[:, :, -1]
 
-    def forward(params, word_ids, state, cand_words):
-        x = embed(params, word_ids)
+    def forward(params, words, state, cand_words):
+        S, B = words.shape
+        x = embed(params, words.reshape(S * B))
         h_top, state = lstm_step(params, config, x, state, precision)
-        cand_logp, eos_logp = _sharded_head(params["head"], h_top, cand_words)
+        ids = jnp.concatenate(
+            [cand_words, jnp.full((S, 1), EOS_ID, jnp.int32)], axis=1
+        )
+        cand_logp, eos_logp = _sharded_head(params["head"], h_top, ids)
         return cand_logp, eos_logp, state
 
     return forward

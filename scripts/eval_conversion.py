@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""Conversion-accuracy eval CLI (ref: JLM:decoder/ eval — SURVEY.md §5.5).
+
+  python scripts/eval_conversion.py --data data/ --exp experiments/h512 \
+      [--test-file pairs.tsv] [--int8]
+
+The test file has ``kana<TAB>gold_display`` lines; defaults to the fixed
+synthetic test set.
+"""
+
+import argparse
+
+from jlm_tpu.data import generate_test_set
+from jlm_tpu.data.io import load_dataset
+from jlm_tpu.data.lexicon import Lexicon
+from jlm_tpu.decoder.engine import BeamDecoder
+from jlm_tpu.eval import evaluate_conversion
+from jlm_tpu.ops.quant import quantize_params
+from jlm_tpu.train import load_checkpoint
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--exp", required=True)
+    ap.add_argument("--test-file", default=None)
+    ap.add_argument("--int8", action="store_true")
+    args = ap.parse_args(argv)
+
+    vocab, *_ = load_dataset(args.data)
+    lexicon = Lexicon.from_vocab(vocab)
+    params, cfg = load_checkpoint(args.exp)
+    if args.int8:
+        params = quantize_params(params)
+    if args.test_file:
+        with open(args.test_file) as f:
+            tests = [tuple(l.rstrip("\n").split("\t")[:2]) for l in f if l.strip()]
+    else:
+        tests = generate_test_set(50, seed=777)
+    eng = BeamDecoder(params, lexicon, vocab, cfg)
+    rep = evaluate_conversion(eng, tests)
+    print(rep.summary())
+
+
+if __name__ == "__main__":
+    main()

@@ -108,3 +108,27 @@ def test_dsoftmax_engine_parity(lexicon, vocab):
         r_e, r_o = eng.decode(kana)[0], orc.decode(kana)[0]
         assert r_e.segments == r_o.segments
         assert abs(r_e.score - r_o.score) < 1e-3
+
+
+def test_pallas_forward_top1_parity(tiny_params, tiny_config, lexicon, vocab, oracle):
+    """Engine with the Pallas projection head (interpret on CPU) == oracle."""
+    from jlm_tpu.decoder.engine import make_pallas_forward
+
+    fwd = make_pallas_forward(tiny_config, tile_v=128)
+    eng = BeamDecoder(tiny_params, lexicon, vocab, tiny_config, forward_fn=fwd)
+    for kana in ["きょうはいい", "あめがふる"]:
+        r_e, r_o = eng.decode(kana)[0], oracle.decode(kana)[0]
+        assert r_e.segments == r_o.segments, kana
+        assert abs(r_e.score - r_o.score) < 1e-3
+
+
+def test_pallas_forward_int8_parity(tiny_params, tiny_config, lexicon, vocab):
+    from jlm_tpu.decoder.engine import make_pallas_forward
+
+    qp = quantize_params(tiny_params)
+    fwd = make_pallas_forward(tiny_config, tile_v=128)
+    eng = BeamDecoder(qp, lexicon, vocab, tiny_config, forward_fn=fwd)
+    orc = OracleDecoder(OracleLM(qp, tiny_config), lexicon, vocab, tiny_config)
+    r_e, r_o = eng.decode("かみとかわ")[0], orc.decode("かみとかわ")[0]
+    assert r_e.segments == r_o.segments
+    assert abs(r_e.score - r_o.score) < 1e-3

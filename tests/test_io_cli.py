@@ -1,0 +1,64 @@
+"""Data IO + CLI scripts + suggester tests."""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "scripts")
+
+
+def test_dataset_roundtrip(vocab, encoded, tmp_path):
+    from jlm_tpu.data.io import load_dataset, save_dataset
+
+    train, dev, test = encoded
+    save_dataset(str(tmp_path), vocab, train, dev, test)
+    v2, tr2, dv2, te2 = load_dataset(str(tmp_path))
+    assert len(v2) == len(vocab)
+    assert v2.tokens[5].key == vocab.tokens[5].key
+    assert v2.lookup(vocab.tokens[10]) == 10
+    np.testing.assert_array_equal(tr2, train)
+
+
+def test_prepare_train_convert_eval_cli(tmp_path):
+    import prepare_data, train as train_cli, convert as convert_cli
+    import eval_conversion
+
+    data = str(tmp_path / "data")
+    exp = str(tmp_path / "exp")
+    prepare_data.main([
+        "--out", data, "--synthetic-sentences", "400", "--vocab-size", "256",
+    ])
+    train_cli.main([
+        "--data", data, "--exp", exp, "--embed-size", "16",
+        "--hidden-size", "32", "--batch-size", "4", "--num-steps", "8",
+        "--epochs", "1", "--lr", "5e-3",
+    ])
+    convert_cli.main(["--data", data, "--exp", exp, "--kana", "きょうは"])
+    convert_cli.main([
+        "--data", data, "--exp", exp, "--kana", "きょうは", "--int8",
+        "--incremental", "--n-best", "2",
+    ])
+    eval_conversion.main(["--data", data, "--exp", exp])
+
+
+def test_suggester(tiny_params, tiny_config, vocab):
+    from jlm_tpu.decoder.suggest import Suggester
+
+    s = Suggester(tiny_params, vocab, tiny_config)
+    out = s.suggest([5, 9], k=4)
+    assert len(out) == 4
+    # sorted by logp desc, displays are strings
+    lps = [lp for _, lp in out]
+    assert lps == sorted(lps, reverse=True)
+    assert all(isinstance(d, str) for d, _ in out)
+
+
+def test_suggester_sharded_matches(tiny_params, tiny_config, vocab):
+    from jlm_tpu.decoder.suggest import Suggester
+    from jlm_tpu.parallel import make_mesh
+
+    cfg = tiny_config.replace(mesh_data=1, mesh_vocab=4)
+    mesh = make_mesh(cfg)
+    s0 = Suggester(tiny_params, vocab, cfg)
+    s1 = Suggester(tiny_params, vocab, cfg, mesh=mesh)
+    assert s0.suggest([3], k=5) == s1.suggest([3], k=5)

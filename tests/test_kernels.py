@@ -1,0 +1,202 @@
+"""Pallas kernel tests (interpret mode on CPU; SURVEY.md §9.1 layer 4).
+
+Every kernel ships with a jnp reference and tolerance tests at the real
+shapes from §4.2.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jlm_tpu.ops.project import project_candidates, project_candidates_ref
+from jlm_tpu.ops.quant import quantize_weight
+
+
+@pytest.mark.parametrize("B,H,V,C", [(16, 512, 4096, 65), (8, 256, 2048, 17)])
+def test_project_candidates_fp32(B, H, V, C):
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(H, V)).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.normal(size=(V,)).astype(np.float32) * 0.01)
+    cand = jnp.asarray(rng.integers(0, V, C).astype(np.int32))
+    out = project_candidates(h, w, None, b, cand, tile_v=1024, interpret=True)
+    ref = project_candidates_ref(h, w, None, b, cand)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_project_candidates_int8():
+    rng = np.random.default_rng(1)
+    B, H, V, C = 16, 512, 4096, 65
+    h = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    w_f = rng.normal(size=(H, V)).astype(np.float32) * 0.05
+    q = quantize_weight(w_f, axis=0)
+    b = jnp.asarray(rng.normal(size=(V,)).astype(np.float32) * 0.01)
+    cand = jnp.asarray(rng.integers(0, V, C).astype(np.int32))
+    out = project_candidates(
+        h,
+        jnp.asarray(q["q"]),
+        jnp.asarray(q["scale"]),
+        b,
+        cand,
+        tile_v=1024,
+        interpret=True,
+    )
+    # reference: dequantized fp32 math — the oracle's int8 parity rule
+    ref = project_candidates_ref(
+        h, jnp.asarray(q["q"]), jnp.asarray(q["scale"]), b, cand
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_project_candidates_unaligned_vocab():
+    """V not a multiple of the tile: padded columns must not leak into lse."""
+    rng = np.random.default_rng(2)
+    B, H, V, C = 4, 128, 1000, 7
+    h = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(H, V)).astype(np.float32) * 0.1)
+    b = jnp.zeros((V,), jnp.float32)
+    cand = jnp.asarray([0, 1, 999, 500, 500, 3, 42], jnp.int32)
+    out = project_candidates(h, w, None, b, cand, tile_v=512, interpret=True)
+    ref = project_candidates_ref(h, w, None, b, cand)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    # duplicate candidate columns agree
+    np.testing.assert_allclose(np.asarray(out)[:, 3], np.asarray(out)[:, 4])
+
+
+def test_project_candidates_normalization():
+    """exp(logp) over ALL vocab ids sums to 1 — lse is global."""
+    rng = np.random.default_rng(3)
+    B, H, V = 2, 64, 256
+    h = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(H, V)).astype(np.float32) * 0.1)
+    b = jnp.zeros((V,), jnp.float32)
+    cand = jnp.arange(V, dtype=jnp.int32)
+    out = project_candidates(h, w, None, b, cand, tile_v=128, interpret=True)
+    np.testing.assert_allclose(np.exp(np.asarray(out)).sum(axis=1), 1.0, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Fused LSTM time-block scan kernel
+# ---------------------------------------------------------------------------
+
+from jlm_tpu.ops.lstm_scan import lstm_scan, lstm_scan_ref
+
+
+@pytest.mark.parametrize("B,T,E,H,TB", [(8, 32, 256, 512, 16), (16, 8, 32, 64, 8)])
+def test_lstm_scan_matches_ref(B, T, E, H, TB):
+    rng = np.random.default_rng(4)
+    xs = jnp.asarray(rng.normal(size=(B, T, E)).astype(np.float32) * 0.1)
+    W = jnp.asarray(rng.normal(size=(E + H, 4 * H)).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.normal(size=(4 * H,)).astype(np.float32) * 0.01)
+    c0 = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32) * 0.1)
+    h0 = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32) * 0.1)
+    hs, cf, hf = lstm_scan(xs, W, b, c0, h0, 1.0, TB, jnp.float32, True)
+    hs_r, cf_r, hf_r = lstm_scan_ref(xs, W, b, c0, h0)
+    np.testing.assert_allclose(np.asarray(hs), np.asarray(hs_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cf), np.asarray(cf_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hf), np.asarray(hf_r), atol=1e-5)
+
+
+def test_lstm_scan_state_carry_across_windows():
+    """Two chained kernel windows == one double-length reference scan."""
+    rng = np.random.default_rng(5)
+    B, T, E, H = 4, 16, 32, 64
+    xs = jnp.asarray(rng.normal(size=(B, 2 * T, E)).astype(np.float32) * 0.1)
+    W = jnp.asarray(rng.normal(size=(E + H, 4 * H)).astype(np.float32) * 0.05)
+    b = jnp.zeros((4 * H,), jnp.float32)
+    z = jnp.zeros((B, H), jnp.float32)
+    hs1, c1, h1 = lstm_scan(xs[:, :T], W, b, z, z, 1.0, 8, jnp.float32, True)
+    hs2, c2, h2 = lstm_scan(xs[:, T:], W, b, c1, h1, 1.0, 8, jnp.float32, True)
+    hs_r, cf_r, hf_r = lstm_scan_ref(xs, W, b, z, z)
+    np.testing.assert_allclose(np.asarray(hs2), np.asarray(hs_r[:, T:]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(cf_r), atol=1e-5)
+
+
+def test_lstm_scan_grad_flows():
+    rng = np.random.default_rng(6)
+    B, T, E, H = 2, 8, 16, 32
+    xs = jnp.asarray(rng.normal(size=(B, T, E)).astype(np.float32) * 0.1)
+    W = jnp.asarray(rng.normal(size=(E + H, 4 * H)).astype(np.float32) * 0.05)
+    b = jnp.zeros((4 * H,), jnp.float32)
+    z = jnp.zeros((B, H), jnp.float32)
+
+    def loss_k(W):
+        hs, _, _ = lstm_scan(xs, W, b, z, z, 1.0, 8, jnp.float32, True)
+        return jnp.sum(hs ** 2)
+
+    def loss_r(W):
+        hs, _, _ = lstm_scan_ref(xs, W, b, z, z)
+        return jnp.sum(hs ** 2)
+
+    gk = jax.grad(loss_k)(W)
+    gr = jax.grad(loss_r)(W)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=1e-4)
+
+
+def test_project_candidates_dsoftmax_matches_dense():
+    from jlm_tpu.config import Config, DSoftmaxConfig
+    from jlm_tpu.ops.project import project_candidates_dsoftmax
+
+    rng = np.random.default_rng(7)
+    B, H = 8, 64
+    cfg = Config(
+        vocab_size=768, embed_size=32, hidden_size=H, head="dsoftmax",
+        dsoftmax=DSoftmaxConfig(
+            block_sizes=(256, 256, 256), block_dims=(64, 32, 16), mode="prefix"
+        ),
+    )
+    blocks = [
+        {"W": jnp.asarray(rng.normal(size=(d, s)).astype(np.float32) * 0.1),
+         "b": jnp.asarray(rng.normal(size=(s,)).astype(np.float32) * 0.01)}
+        for s, d in zip(cfg.dsoftmax.block_sizes, cfg.dsoftmax.block_dims)
+    ]
+    h = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    cand = jnp.asarray([0, 255, 256, 511, 512, 767, 100], jnp.int32)
+    out = project_candidates_dsoftmax(h, blocks, cfg, cand, tile_v=256,
+                                      interpret=True)
+    # dense reference: zero-pad each block W up to H rows (prefix slices)
+    dense = jnp.concatenate(
+        [jnp.pad(b["W"], ((0, H - b["W"].shape[0]), (0, 0))) for b in blocks],
+        axis=1,
+    )
+    bias = jnp.concatenate([b["b"] for b in blocks])
+    ref = project_candidates_ref(h, dense, None, bias, cand)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_project_candidates_dsoftmax_int8():
+    from jlm_tpu.config import Config, DSoftmaxConfig
+    from jlm_tpu.ops.project import project_candidates_dsoftmax
+
+    rng = np.random.default_rng(8)
+    B, H = 8, 64
+    cfg = Config(
+        vocab_size=512, embed_size=32, hidden_size=H, head="dsoftmax",
+        dsoftmax=DSoftmaxConfig(
+            block_sizes=(256, 256), block_dims=(64, 32), mode="prefix"
+        ),
+    )
+    blocks_f = [
+        {"W": rng.normal(size=(d, s)).astype(np.float32) * 0.1,
+         "b": rng.normal(size=(s,)).astype(np.float32) * 0.01}
+        for s, d in zip(cfg.dsoftmax.block_sizes, cfg.dsoftmax.block_dims)
+    ]
+    blocks_q = [
+        {"W": quantize_weight(b["W"], axis=0), "b": jnp.asarray(b["b"])}
+        for b in blocks_f
+    ]
+    h = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    cand = jnp.asarray([0, 100, 300, 511], jnp.int32)
+    out = project_candidates_dsoftmax(h, blocks_q, cfg, cand, tile_v=256,
+                                      interpret=True)
+    dense = jnp.concatenate(
+        [jnp.pad(
+            jnp.asarray(b["W"]["q"].astype(np.float32) * b["W"]["scale"][None, :]),
+            ((0, H - b["W"]["q"].shape[0]), (0, 0)))
+         for b in blocks_q],
+        axis=1,
+    )
+    bias = jnp.concatenate([jnp.asarray(b["b"]) for b in blocks_f])
+    ref = project_candidates_ref(h, dense, None, bias, cand)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)

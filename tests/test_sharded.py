@@ -44,9 +44,10 @@ def test_sharded_forward_matches_unsharded(tiny_params):
     cfg, mesh = cfg_mesh()
     params = shard_params(jax.tree.map(jnp.asarray, tiny_params), cfg, mesh)
     fwd = make_sharded_forward(mesh, cfg)
-    words = jnp.asarray([3, 9], jnp.int32)
-    state = initial_state(cfg, 2)
-    cand = jnp.asarray([0, 5, 17, 255], jnp.int32)
+    S, B = 2, 2
+    words = jnp.asarray([[3, 9], [7, 1]], jnp.int32)
+    state = initial_state(cfg, S * B)
+    cand = jnp.asarray([[0, 5, 17, 255], [2, 4, 100, 31]], jnp.int32)
     c_s, e_s, st_s = fwd(params, words, state, cand)
     c_r, e_r, st_r = full_softmax_forward(
         jax.tree.map(jnp.asarray, tiny_params), cfg, words, state, cand
@@ -66,10 +67,12 @@ def test_sharded_dsoftmax_forward_matches_unsharded():
     params = jax.tree.map(jnp.asarray, init_params(cfg))
     sharded = shard_params(params, cfg, mesh)
     fwd = make_sharded_forward(mesh, cfg)
-    words = jnp.asarray([1, 8], jnp.int32)
-    state = initial_state(cfg, 2)
+    S, B = 2, 1
+    words = jnp.asarray([[1], [8]], jnp.int32)
+    state = initial_state(cfg, S * B)
     # candidates spanning all three blocks incl. boundaries
-    cand = jnp.asarray([0, 63, 64, 127, 128, 255], jnp.int32)
+    cand = jnp.asarray([[0, 63, 64, 127, 128, 255],
+                        [255, 128, 127, 64, 63, 0]], jnp.int32)
     c_s, e_s, _ = fwd(sharded, words, state, cand)
 
     from jlm_tpu.decoder.engine import full_softmax_forward as ref_fwd
@@ -116,14 +119,18 @@ def test_vocab_parallel_nll_and_grads(tiny_params):
 
 
 def test_sharded_decode_top1_parity(tiny_params, lexicon, vocab):
-    """BASELINE config 3 skeleton: vocab-sharded beam decode == oracle."""
+    """BASELINE config 3 skeleton: vocab-sharded beam decode == oracle.
+
+    S must divide mesh_data; decode two sentences per batch on (2, 4)."""
     cfg, mesh = cfg_mesh()
     params = jax.tree.map(jnp.asarray, tiny_params)
     sharded = shard_params(params, cfg, mesh)
     fwd = make_sharded_forward(mesh, cfg)
     eng = BeamDecoder(sharded, lexicon, vocab, cfg, forward_fn=fwd)
     orc = OracleDecoder(OracleLM(tiny_params, cfg), lexicon, vocab, cfg)
-    for kana in ["きょうはいいてんき", "あめがふる", "かみとかわ"]:
-        r_e, r_o = eng.decode(kana)[0], orc.decode(kana)[0]
-        assert r_e.segments == r_o.segments, kana
-        assert abs(r_e.score - r_o.score) < 1e-3
+    kanas = ["きょうはいいてんき", "あめがふる", "かみとかわ", "はしをみる"]
+    res = eng.decode_batch(kanas, n_best=1)
+    for kana, r in zip(kanas, res):
+        r_o = orc.decode(kana)[0]
+        assert r[0].segments == r_o.segments, kana
+        assert abs(r[0].score - r_o.score) < 1e-3
