@@ -374,7 +374,10 @@ class BeamDecoder:
         forward_fn: Optional[ForwardFn] = None,
         precision: str = "highest",
     ):
-        self.params = params
+        # Materialize params on device ONCE — passing host numpy arrays into
+        # the jitted call would re-upload the full weight set (~150 MB at
+        # flagship dims) on every decode_batch.
+        self.params = jax.tree.map(jnp.asarray, params)
         self.lexicon = lexicon
         self.vocab = vocab
         self.config = config

@@ -136,7 +136,8 @@ class IncrementalDecoder:
         config: Config,
         precision: str = "highest",
     ):
-        self.params = params
+        # device-resident params: avoid re-uploading weights every keystroke
+        self.params = jax.tree.map(jnp.asarray, params)
         self.lexicon = lexicon
         self.vocab = vocab
         self.config = config

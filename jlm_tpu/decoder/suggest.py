@@ -31,7 +31,7 @@ class Suggester:
         mesh: Optional[jax.sharding.Mesh] = None,
         precision: str = "highest",
     ):
-        self.params = params
+        self.params = jax.tree.map(jnp.asarray, params)
         self.vocab = vocab
         self.config = config
         self.mesh = mesh

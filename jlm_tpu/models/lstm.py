@@ -171,6 +171,36 @@ def step_logp(
     return log_softmax(head_logits(params, config, h_top, precision)), state
 
 
+def forward_hidden_pallas(
+    params: Dict[str, Any],
+    config: Config,
+    ids: jnp.ndarray,  # [B, T] int32
+    state: State,
+    time_block: int = 32,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, State]:
+    """:func:`forward_hidden` with the fused Pallas time-block scan.
+
+    Per layer, weights stay VMEM-resident across the whole window and the
+    (c, h) carry never leaves the chip (:mod:`jlm_tpu.ops.lstm_scan`).
+    Gradients are exact via the kernel's custom VJP.
+    """
+    from jlm_tpu.ops.lstm_scan import lstm_scan
+
+    c0, h0 = state
+    xs = embed(params, ids)
+    cs, hs_f = [], []
+    for l, layer in enumerate(params["lstm"]):
+        xs, c_f, h_f = lstm_scan(
+            xs, _w(layer["W"]), layer["b"], c0[l], h0[l],
+            config.forget_bias, time_block, compute_dtype, interpret,
+        )
+        cs.append(c_f)
+        hs_f.append(h_f)
+    return xs, (jnp.stack(cs), jnp.stack(hs_f))
+
+
 def forward_hidden(
     params: Dict[str, Any],
     config: Config,

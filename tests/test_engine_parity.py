@@ -132,3 +132,18 @@ def test_pallas_forward_int8_parity(tiny_params, tiny_config, lexicon, vocab):
     r_e, r_o = eng.decode("かみとかわ")[0], orc.decode("かみとかわ")[0]
     assert r_e.segments == r_o.segments
     assert abs(r_e.score - r_o.score) < 1e-3
+
+
+def test_two_layer_engine_parity(lexicon, vocab):
+    """BASELINE config 5 model shape (2-layer) decodes with oracle parity."""
+    cfg = Config(
+        vocab_size=256, embed_size=32, hidden_size=64, num_layers=2,
+        beam_width=4, max_kana_len=30, seed=42,
+    )
+    params = init_params(cfg)
+    eng = BeamDecoder(params, lexicon, vocab, cfg)
+    orc = OracleDecoder(OracleLM(params, cfg), lexicon, vocab, cfg)
+    for kana in ["きょうはいいてんき", "はしをみる"]:
+        r_e, r_o = eng.decode(kana)[0], orc.decode(kana)[0]
+        assert r_e.segments == r_o.segments
+        assert abs(r_e.score - r_o.score) < 1e-3

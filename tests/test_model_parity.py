@@ -148,3 +148,36 @@ def test_grad_flows_through_scan(tiny_params, tiny_config):
         jnp.sqrt(sum(jnp.sum(x * x) for x in jax.tree.leaves(g)))
     )
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_forward_hidden_pallas_matches(tiny_params, tiny_config):
+    """Pallas fused scan (interpret) == XLA scan, values and grads."""
+    from jlm_tpu.models.lstm import forward_hidden_pallas
+
+    B, T = 4, 8
+    rng = np.random.default_rng(9)
+    ids = jnp.asarray(rng.integers(0, tiny_config.vocab_size, (B, T)), jnp.int32)
+    st = initial_state(tiny_config, B)
+    hs_r, st_r = forward_hidden(tiny_params, tiny_config, ids, st,
+                                precision="highest")
+    hs_p, st_p = forward_hidden_pallas(
+        tiny_params, tiny_config, ids, st, time_block=4, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(hs_p), np.asarray(hs_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_p[0]), np.asarray(st_r[0]), atol=1e-5)
+
+    def loss_r(p):
+        hs, _ = forward_hidden(p, tiny_config, ids, st, precision="highest")
+        return jnp.sum(hs ** 2)
+
+    def loss_p(p):
+        hs, _ = forward_hidden_pallas(p, tiny_config, ids, st, time_block=4,
+                                      interpret=True)
+        return jnp.sum(hs ** 2)
+
+    g_r = jax.grad(loss_r)(tiny_params)
+    g_p = jax.grad(loss_p)(tiny_params)
+    np.testing.assert_allclose(
+        np.asarray(g_p["lstm"][0]["W"]), np.asarray(g_r["lstm"][0]["W"]),
+        atol=1e-4,
+    )
