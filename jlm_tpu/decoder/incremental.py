@@ -219,6 +219,60 @@ class IncrementalDecoder:
         assert self.kana, "nothing to pop"
         self.kana = self.kana[:-1]
 
+    # --- session checkpoint/resume (SURVEY.md §7: decode streams are
+    # resumable — the full session state is (c, h) caches + beams) --------
+    def save_session(self, path: str) -> None:
+        """Snapshot the typing session to one .npz (cheap: a few MB)."""
+        import json
+
+        arrays = {
+            "score": np.asarray(self._score),
+            "lse": np.asarray(self._lse),
+            "eos": np.asarray(self._eos),
+            "c": np.asarray(self._c),
+            "h": np.asarray(self._h),
+            "htop": np.asarray(self._htop),
+        }
+        T = len(self.kana)
+        for pos in range(1, T + 1):
+            src, selp, seln = self._bp[pos]
+            arrays[f"bp{pos}"] = np.stack([src, selp, seln])
+            arrays[f"fin{pos}"] = self._finals[pos]
+        meta = {
+            "kana": self.kana,
+            "frames": [
+                [(n.word_id, n.start, n.end, n.display) for n in fr]
+                for fr in self._frames[: T + 1]
+            ],
+        }
+        np.savez(path, meta=np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8), **arrays)
+
+    def load_session(self, path: str) -> None:
+        """Resume a snapshot saved by :meth:`save_session`."""
+        import json
+
+        with np.load(path) as z:
+            meta = json.loads(bytes(z["meta"]).decode())
+            self.kana = meta["kana"]
+            self._frames = [
+                [Node(w, s, e, d) for (w, s, e, d) in fr]
+                for fr in meta["frames"]
+            ]
+            self._score = jnp.asarray(z["score"])
+            self._lse = jnp.asarray(z["lse"])
+            self._eos = jnp.asarray(z["eos"])
+            self._c = jnp.asarray(z["c"])
+            self._h = jnp.asarray(z["h"])
+            self._htop = jnp.asarray(z["htop"])
+            T = len(self.kana)
+            self._bp = [None] * (T + 1)
+            self._finals = [None] * (T + 1)
+            for pos in range(1, T + 1):
+                bp = z[f"bp{pos}"]
+                self._bp[pos] = (bp[0], bp[1], bp[2])
+                self._finals[pos] = z[f"fin{pos}"]
+
     def results(self, n_best: int = 1) -> List[DecodeResult]:
         T = len(self.kana)
         if T == 0:

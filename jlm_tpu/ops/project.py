@@ -41,19 +41,21 @@ def _round_up(x: int, m: int) -> int:
 
 def _proj_kernel(
     cand_ref,  # int32 [1, C]     candidate ids, block-local (VMEM, full)
-    h_ref,  # fp [B, D]            hidden rows (VMEM, full)
+    h_ref,  # fp [TR, D]           hidden row block
     w_ref,  # int8/fp [D, TV]      weight tile
     scale_ref,  # fp32 [1, TV]     per-column scales (ones if unquantized)
     b_ref,  # fp32 [1, TV]         bias tile
-    cand_out_ref,  # fp32 [B, C]   raw candidate logits (0 if not in block)
-    m_out_ref,  # fp32 [B, 128]    running max (col 0)
-    s_out_ref,  # fp32 [B, 128]    sumexp relative to the max (col 0)
+    cand_out_ref,  # fp32 [TR, C]  raw candidate logits (0 if not in block)
+    m_out_ref,  # fp32 [TR, 128]   running max (col 0)
+    s_out_ref,  # fp32 [TR, 128]   sumexp relative to the max (col 0)
     *,
     tile_v: int,
     compute_dtype,
 ):
-    v = pl.program_id(0)
-    nv = pl.num_programs(0)
+    # grid = (row_blocks, vocab_tiles); vocab is the minor (fast) dim so the
+    # output refs act as accumulators across the v sweep of each row block.
+    v = pl.program_id(1)
+    nv = pl.num_programs(1)
 
     @pl.when(v == 0)
     def _init():
@@ -97,13 +99,22 @@ def _project_block(
     tile_v: int,
     compute_dtype,
     interpret: bool,
+    tile_r: int = 256,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One frequency block → raw (cand [B,C], m [B,1], s [B,1])."""
+    """One frequency block → raw (cand [B,C], m [B,1], s [B,1]).
+
+    Grid is (row blocks, vocab tiles) with vocab minor, so large beam-row
+    batches stream through bounded VMEM (row tile + one weight tile).
+    """
     B, D = h.shape
     S = weight.shape[1]
     C = cand_local.shape[0]
     tv = min(tile_v, _round_up(S, 128))
+    tr = min(tile_r, B)
     S_pad = _round_up(S, tv)
+    B_pad = _round_up(B, tr)
+    if B_pad != B:
+        h = jnp.pad(h, ((0, B_pad - B), (0, 0)))
     if S_pad != S:
         weight = jnp.pad(weight, ((0, 0), (0, S_pad - S)))
         bias = jnp.pad(bias, (0, S_pad - S), constant_values=-1e30)
@@ -114,30 +125,30 @@ def _project_block(
 
     cand, m, s = pl.pallas_call(
         functools.partial(_proj_kernel, tile_v=tv, compute_dtype=compute_dtype),
-        grid=(S_pad // tv,),
+        grid=(B_pad // tr, S_pad // tv),
         in_specs=[
-            pl.BlockSpec((1, C), lambda v: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, D), lambda v: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, tv), lambda v: (0, v), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tv), lambda v: (0, v), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tv), lambda v: (0, v), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda r, v: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, D), lambda r, v: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, tv), lambda r, v: (0, v), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tv), lambda r, v: (0, v), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tv), lambda r, v: (0, v), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((B, C), lambda v: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 128), lambda v: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 128), lambda v: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, C), lambda r, v: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, 128), lambda r, v: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, 128), lambda r, v: (r, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, C), jnp.float32),
-            jax.ShapeDtypeStruct((B, 128), jnp.float32),
-            jax.ShapeDtypeStruct((B, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B_pad, C), jnp.float32),
+            jax.ShapeDtypeStruct((B_pad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B_pad, 128), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * D * S_pad,
-            bytes_accessed=D * S_pad * weight.dtype.itemsize
-            + B * D * 4
-            + B * C * 4,
-            transcendentals=B * S_pad,
+            flops=2 * B_pad * D * S_pad,
+            bytes_accessed=(B_pad // tr) * D * S_pad * weight.dtype.itemsize
+            + B_pad * D * 4
+            + B_pad * C * 4,
+            transcendentals=B_pad * S_pad,
         ),
         interpret=interpret,
     )(
@@ -147,7 +158,7 @@ def _project_block(
         scale.reshape(1, S_pad).astype(jnp.float32),
         bias.reshape(1, S_pad).astype(jnp.float32),
     )
-    return cand, m[:, :1], s[:, :1]
+    return cand[:B], m[:B, :1], s[:B, :1]
 
 
 def project_candidates(

@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Full BASELINE benchmark sweep: the 5 configs of BASELINE.md.
+
+Writes a JSON report (default BENCH_DETAIL.json) with chars/sec and parity
+for each config on the available hardware:
+
+1. CPU oracle: greedy Viterbi, full softmax (numpy) — the de-facto baseline.
+2. TPU beam-10 lattice decoding, full softmax, streaming batched.
+3. TPU D-softmax head (vocab-compressed); vocab-SHARDED variant is
+   exercised on the virtual CPU mesh in CI (one real chip here).
+4. TPU int8 weights (in-kernel dequant path) + incremental per-keystroke.
+5. TPU 2-layer, 100k vocab, streaming batched (multi-host mesh exercised
+   via dryrun_multichip / CI; one real chip here).
+
+Run:  python scripts/bench_all.py [--out BENCH_DETAIL.json] [--quick]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="BENCH_DETAIL.json")
+    ap.add_argument("--quick", action="store_true", help="fewer sentences/reps")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from jlm_tpu.config import Config, default_dsoftmax_blocks
+    from jlm_tpu.data import (
+        Lexicon,
+        build_vocab,
+        generate_corpus,
+        generate_test_set,
+    )
+    from jlm_tpu.decoder.engine import BeamDecoder
+    from jlm_tpu.decoder.incremental import IncrementalDecoder
+    from jlm_tpu.models.params import init_params
+    from jlm_tpu.ops.quant import quantize_params
+    from jlm_tpu.oracle import OracleDecoder, OracleLM
+
+    V, H = 50_000, 512
+    vocab = build_vocab(generate_corpus(2000, seed=1234), V)
+    lexicon = Lexicon.from_vocab(vocab)
+    tests = generate_test_set(50, seed=777)
+    kanas = [k for k, _ in tests]
+    n_chars = sum(len(k) for k in kanas)
+    mult = 1 if args.quick else 3
+    reps = 1 if args.quick else 3
+    report = {"device": str(jax.devices()[0]), "ts": time.time(), "configs": {}}
+
+    def tpu_throughput(engine, stream_mult=mult):
+        stream = kanas * stream_mult
+        engine.decode_batch(stream, n_best=1)  # compile+warm
+        t0 = time.time()
+        for _ in range(reps):
+            res = engine.decode_batch(stream, n_best=1)
+        dt = (time.time() - t0) / reps
+        return n_chars * stream_mult / dt, res[: len(kanas)]
+
+    # ---- config 1: CPU oracle greedy --------------------------------------
+    cfg1 = Config(vocab_size=V, hidden_size=H, beam_width=1, n_best_max=1, seed=0)
+    params = init_params(cfg1)
+    orc = OracleDecoder(OracleLM(params, cfg1), lexicon, vocab, cfg1)
+    t0 = time.time()
+    oracle_res = [orc.decode(k)[0] for k in kanas]
+    dt = time.time() - t0
+    base = n_chars / dt
+    report["configs"]["1_cpu_oracle_greedy"] = {
+        "chars_per_sec": round(base, 1), "hardware": "cpu-numpy",
+    }
+    log(f"config1 oracle: {base:.1f} chars/s")
+
+    # greedy parity: TPU greedy vs oracle greedy (top-1 identical)
+    eng1 = BeamDecoder(params, lexicon, vocab, cfg1, precision="highest")
+    tpu_greedy = [r[0] for r in eng1.decode_batch(kanas, 1)]
+    parity1 = sum(
+        a.segments == b.segments for a, b in zip(tpu_greedy, oracle_res)
+    )
+    report["configs"]["1_cpu_oracle_greedy"]["tpu_greedy_top1_parity"] = (
+        f"{parity1}/{len(kanas)}"
+    )
+    log(f"config1 greedy parity: {parity1}/{len(kanas)}")
+
+    # ---- config 2: beam-10 full softmax ------------------------------------
+    cfg2 = cfg1.replace(beam_width=10)
+    eng2 = BeamDecoder(params, lexicon, vocab, cfg2, precision="default")
+    cps2, res2 = tpu_throughput(eng2)
+    orc2 = OracleDecoder(OracleLM(params, cfg2), lexicon, vocab, cfg2)
+    par2 = sum(
+        r[0].segments == orc2.decode(k)[0].segments
+        for k, r in zip(kanas[:10], res2[:10])
+    )
+    report["configs"]["2_beam10_full_softmax"] = {
+        "chars_per_sec": round(cps2, 1),
+        "vs_baseline": round(cps2 / base, 2),
+        "top1_parity_sample": f"{par2}/10",
+    }
+    log(f"config2 beam10: {cps2:.1f} chars/s ({cps2/base:.1f}x), parity {par2}/10")
+
+    # ---- config 3: D-softmax head ------------------------------------------
+    cfg3 = cfg2.replace(
+        head="dsoftmax", dsoftmax=default_dsoftmax_blocks(V, H)
+    )
+    params3 = init_params(cfg3)
+    eng3 = BeamDecoder(params3, lexicon, vocab, cfg3, precision="default")
+    cps3, _ = tpu_throughput(eng3)
+    report["configs"]["3_dsoftmax"] = {
+        "chars_per_sec": round(cps3, 1),
+        "vs_baseline": round(cps3 / base, 2),
+        "note": "vocab-sharded variant exercised on 8-dev CPU mesh in CI "
+                "(tests/test_sharded.py); 1 real chip here",
+    }
+    log(f"config3 dsoftmax: {cps3:.1f} chars/s ({cps3/base:.1f}x)")
+
+    # ---- config 4: int8 + incremental --------------------------------------
+    qp = quantize_params(params)
+    eng4 = BeamDecoder(qp, lexicon, vocab, cfg2, precision="default")
+    cps4, res4 = tpu_throughput(eng4)
+    orc4 = OracleDecoder(OracleLM(qp, cfg2), lexicon, vocab, cfg2)
+    par4 = sum(
+        r[0].segments == orc4.decode(k)[0].segments
+        for k, r in zip(kanas[:10], res4[:10])
+    )
+    inc = IncrementalDecoder(qp, lexicon, vocab, cfg2, precision="default")
+    for ch in kanas[0]:
+        inc.push(ch)  # compile+warm
+    lat = []
+    for k in kanas[1:6]:
+        inc.reset()
+        for ch in k:
+            t0 = time.time()
+            inc.push(ch)
+            lat.append(time.time() - t0)
+    report["configs"]["4_int8_incremental"] = {
+        "chars_per_sec_batched": round(cps4, 1),
+        "vs_baseline": round(cps4 / base, 2),
+        "int8_top1_parity_sample": f"{par4}/10",
+        "keystroke_ms_median": round(sorted(lat)[len(lat) // 2] * 1e3, 1),
+        "keystroke_ms_p95": round(sorted(lat)[int(len(lat) * 0.95)] * 1e3, 1),
+    }
+    log(f"config4 int8: {cps4:.1f} chars/s, keystroke "
+        f"{report['configs']['4_int8_incremental']['keystroke_ms_median']}ms")
+
+    # ---- config 5: 2-layer 100k streaming ----------------------------------
+    V5 = 100_000
+    vocab5 = build_vocab(generate_corpus(2000, seed=1234), V5)
+    lex5 = Lexicon.from_vocab(vocab5)
+    cfg5 = Config(
+        vocab_size=V5, num_layers=2, hidden_size=H, beam_width=10,
+        n_best_max=1, head="dsoftmax",
+        dsoftmax=default_dsoftmax_blocks(V5, H), seed=0,
+    )
+    params5 = init_params(cfg5)
+    eng5 = BeamDecoder(params5, lex5, vocab5, cfg5, precision="default")
+    stream5 = kanas * mult
+    eng5.decode_batch(stream5, n_best=1)
+    t0 = time.time()
+    for _ in range(reps):
+        eng5.decode_batch(stream5, n_best=1)
+    cps5 = n_chars * mult / ((time.time() - t0) / reps)
+    report["configs"]["5_2layer_100k_streaming"] = {
+        "chars_per_sec": round(cps5, 1),
+        "vs_baseline": round(cps5 / base, 2),
+        "note": "multi-host mesh exercised via __graft_entry__.dryrun_multichip "
+                "and tests; 1 real chip here",
+    }
+    log(f"config5 2l-100k: {cps5:.1f} chars/s ({cps5/base:.1f}x)")
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    log(f"wrote {args.out}")
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

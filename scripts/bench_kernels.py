@@ -12,14 +12,22 @@ import jax
 import jax.numpy as jnp
 
 
-def timed(f, *a, n=10):
-    out = f(*a)
-    jax.block_until_ready(out)
-    _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+def timed(f, x, n=20):
+    """Device ms/op: loop n dependent iterations inside ONE jit call.
+
+    Per-call sync through the tunneled backend costs ~30 ms, which would
+    swamp per-op timing; chaining iterations on device amortizes it away.
+    """
+
+    def body(i, carry):
+        out = f(carry)
+        leaf = jax.tree.leaves(out)[0]
+        return carry + 0.0 * leaf.ravel()[0].astype(carry.dtype)
+
+    looped = jax.jit(lambda x: jax.lax.fori_loop(0, n, body, x))
+    _ = np.asarray(looped(x)).ravel()[:1]  # compile + warm
     t0 = time.time()
-    for _ in range(n):
-        out = f(*a)
-        _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+    _ = np.asarray(looped(x)).ravel()[:1]
     return (time.time() - t0) / n * 1e3
 
 

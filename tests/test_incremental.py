@@ -89,3 +89,40 @@ def test_dsoftmax_incremental(lexicon, vocab):
     ref = eng_d.decode("きょうは")
     assert res[0].segments == ref[0].segments
     assert abs(res[0].score - ref[0].score) < 1e-3
+
+
+def test_session_save_resume(tiny_params, tiny_config, lexicon, vocab,
+                             tmp_path, batch):
+    """A saved mid-sentence session resumes in a fresh decoder and finishes
+    identically to an uninterrupted one (SURVEY.md §7 resumable streams)."""
+    a = IncrementalDecoder(tiny_params, lexicon, vocab, tiny_config)
+    for ch in "きょうは":
+        a.push(ch)
+    path = str(tmp_path / "session.npz")
+    a.save_session(path)
+
+    b = IncrementalDecoder(tiny_params, lexicon, vocab, tiny_config)
+    b.load_session(path)
+    assert b.kana == "きょうは"
+    for ch in "いい":
+        res = b.push(ch)
+    ref = batch.decode("きょうはいい")
+    assert res[0].segments == ref[0].segments
+    assert abs(res[0].score - ref[0].score) < 1e-3
+    # resumed mid-state results also match
+    assert [r.segments for r in b.results(2)] == [
+        r.segments for r in batch.decode("きょうはいい", n_best=2)
+    ]
+
+
+def test_export_int8_cli(tiny_params, tiny_config, tmp_path):
+    import sys
+    sys.path.insert(0, "scripts")
+    import export_int8
+    from jlm_tpu.train import load_checkpoint, save_checkpoint
+
+    save_checkpoint(str(tmp_path), tiny_params, tiny_config)
+    export_int8.main(["--exp", str(tmp_path)])
+    qp, cfg = load_checkpoint(str(tmp_path), tag="int8")
+    assert qp["embedding"]["q"].dtype.name == "int8"
+    assert cfg.vocab_size == tiny_config.vocab_size
