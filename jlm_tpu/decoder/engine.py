@@ -420,13 +420,29 @@ class BeamDecoder:
             )
         return results
 
+    @staticmethod
+    def _bucket(n: int) -> int:
+        """Pad batch sizes to power-of-two buckets.
+
+        Each distinct batch shape costs a fresh XLA compile (~90 s through
+        the tunneled remote compiler); bucketing bounds the number of
+        compiled programs a serving process ever sees.
+        """
+        b = 1
+        while b < n:
+            b *= 2
+        return b
+
     def decode_batch(
         self, kanas: List[str], n_best: int = 1
     ) -> List[List[DecodeResult]]:
         lattices = [
             build_lattice(k, self.lexicon, self.vocab, self.config) for k in kanas
         ]
-        packed, lengths = pack_lattice_batch(lattices)
+        n_real = len(lattices)
+        pad = self._bucket(n_real) - n_real
+        lattices_padded = lattices + [lattices[-1]] * pad
+        packed, lengths = pack_lattice_batch(lattices_padded)
         out = self._decode_jit(
             self.params, jnp.asarray(packed), jnp.asarray(lengths)
         )
@@ -434,7 +450,7 @@ class BeamDecoder:
         paths = np.asarray(out["paths"])
         return [
             self.results_from_output(lattices[i], finals[i], paths[i], n_best)
-            for i in range(len(lattices))
+            for i in range(n_real)
         ]
 
     def decode(self, kana: str, n_best: int = 1) -> List[DecodeResult]:

@@ -114,9 +114,20 @@ def _keystroke_step(
     h_cache = h_cache.at[pos].set(h2)
     htop_cache = htop_cache.at[pos].set(h_top)
     finals = top_scores + eos
+    # Pack the per-keystroke host payload into ONE int32 array: each host
+    # fetch costs a full RPC round trip on tunneled backends; one fetch per
+    # keystroke is the latency floor.
+    packed_out = jnp.stack(
+        [
+            src_pos.astype(jnp.int32),
+            sel_p.astype(jnp.int32),
+            sel_n.astype(jnp.int32),
+            jax.lax.bitcast_convert_type(finals, jnp.int32),
+        ]
+    )
     return (
         (score_cache, lse_cache, eos_cache, c_cache, h_cache, htop_cache),
-        (src_pos, sel_p, sel_n, finals),
+        packed_out,
     )
 
 
@@ -199,7 +210,7 @@ class IncrementalDecoder:
             nw[k], ns[k], nm[k] = n.word_id, n.start, True
 
         caches = (self._score, self._lse, self._eos, self._c, self._h, self._htop)
-        caches, (src, selp, seln, finals) = self._step(
+        caches, packed_out = self._step(
             self.params, *caches, jnp.int32(pos),
             jnp.asarray(nw), jnp.asarray(ns), jnp.asarray(nm),
         )
@@ -210,8 +221,9 @@ class IncrementalDecoder:
             self._bp.append(None)
             self._finals.append(None)
         self._frames[pos] = nodes
-        self._bp[pos] = tuple(np.asarray(a) for a in (src, selp, seln))
-        self._finals[pos] = np.asarray(finals)
+        out = np.asarray(packed_out)  # single device fetch per keystroke
+        self._bp[pos] = (out[0], out[1], out[2])
+        self._finals[pos] = out[3].view(np.float32)
         return self.results(n_best)
 
     def pop(self) -> None:

@@ -78,6 +78,45 @@ class Trainer:
         hs, state = forward_hidden(params, self.config, x, state)
         return full_softmax_loss(params, self.config, hs, y), state
 
+    # --- checkpoint/resume of the FULL training state -------------------
+    # (params + optimizer moments + epoch counter; SURVEY.md §7
+    # "Checkpoint / resume".)  Optimizer leaves are stored flat; the tree
+    # structure is rebuilt from a fresh opt.init of the same config, so the
+    # archive stays plain arrays (no pickled Python objects).
+    def save_state(self, exp_dir: str, epoch: int) -> str:
+        import os
+
+        os.makedirs(exp_dir, exist_ok=True)
+        save_checkpoint(exp_dir, jax.tree.map(np.asarray, self.params),
+                        self.config, tag="latest")
+        leaves = [np.asarray(x) for x in jax.tree.leaves(self.opt_state)]
+        path = os.path.join(exp_dir, "opt_state.npz")
+        np.savez(path, epoch=np.int64(epoch),
+                 **{f"leaf{i}": l for i, l in enumerate(leaves)})
+        return path
+
+    def load_state(self, exp_dir: str) -> int:
+        """Restore params + optimizer state; returns the next epoch index."""
+        import os
+
+        from jlm_tpu.train.checkpoint import load_checkpoint
+
+        params, _ = load_checkpoint(exp_dir, tag="latest")
+        self.params = jax.tree.map(jnp.asarray, params)
+        path = os.path.join(exp_dir, "opt_state.npz")
+        if not os.path.exists(path):
+            self.opt_state = self.opt.init(self.params)
+            return 0
+        with np.load(path) as z:
+            leaves = [z[f"leaf{i}"] for i in range(len(z.files) - 1)]
+            epoch = int(z["epoch"])
+        template = self.opt.init(self.params)
+        treedef = jax.tree.structure(template)
+        self.opt_state = jax.tree.unflatten(
+            treedef, [jnp.asarray(l) for l in leaves]
+        )
+        return epoch + 1
+
     # --- loops ---------------------------------------------------------
     def run_epoch(self, ids: np.ndarray, epoch: int, rng: jax.Array) -> float:
         cfg = self.config
@@ -119,12 +158,22 @@ def train_lm(
     dev_ids: np.ndarray,
     exp_dir: Optional[str] = None,
     log: bool = True,
+    resume: bool = False,
 ) -> Tuple[Any, List[Dict[str, float]]]:
-    """Full training run; returns (params, per-epoch history)."""
+    """Full training run; returns (params, per-epoch history).
+
+    ``resume=True`` restores params + optimizer state + epoch counter from
+    ``exp_dir`` and continues (a crashed run re-enters at the next epoch).
+    """
     trainer = Trainer(config)
+    start_epoch = 0
+    if resume and exp_dir:
+        start_epoch = trainer.load_state(exp_dir)
+        if log and start_epoch:
+            print(f"resumed {exp_dir} at epoch {start_epoch}")
     rng = jax.random.key(config.seed)
     history: List[Dict[str, float]] = []
-    for epoch in range(config.epochs):
+    for epoch in range(start_epoch, config.epochs):
         rng, sub = jax.random.split(rng)
         t0 = time.time()
         train_ppl = trainer.run_epoch(train_ids, epoch, sub)
@@ -145,6 +194,5 @@ def train_lm(
             )
         if exp_dir:
             append_log(exp_dir, rec)
-            save_checkpoint(exp_dir, jax.tree.map(np.asarray, trainer.params),
-                            config, tag="latest")
+            trainer.save_state(exp_dir, epoch)
     return trainer.params, history

