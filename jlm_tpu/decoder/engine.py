@@ -45,7 +45,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from jlm_tpu.config import Config, EOS_ID
+from jlm_tpu.config import Config, EOS_ID, UNK_ID
 from jlm_tpu.data.corpus import Vocab
 from jlm_tpu.data.lexicon import Lexicon
 from jlm_tpu.decoder.lattice import Lattice, build_lattice
@@ -373,6 +373,7 @@ class BeamDecoder:
         config: Config,
         forward_fn: Optional[ForwardFn] = None,
         precision: str = "highest",
+        use_native: Optional[bool] = None,
     ):
         # Materialize params on device ONCE — passing host numpy arrays into
         # the jitted call would re-upload the full weight set (~150 MB at
@@ -381,6 +382,17 @@ class BeamDecoder:
         self.lexicon = lexicon
         self.vocab = vocab
         self.config = config
+        # Host-side lattice building: native C++ builder when the toolchain
+        # is available (bit-identical output, ~100x less host time), else
+        # the pure-Python path.
+        self._native = None
+        if use_native is not False:
+            from jlm_tpu import native as _native_mod
+
+            if _native_mod.available():
+                self._native = _native_mod.NativeLatticeBuilder(lexicon, config)
+            elif use_native is True:
+                raise RuntimeError("native lattice builder requested but unavailable")
         if forward_fn is None:
             fwd = lambda p, w, s, cw: full_softmax_forward(
                 p, config, w, s, cw, precision=precision
@@ -391,11 +403,16 @@ class BeamDecoder:
             functools.partial(_decode_scan, config=config, forward_fn=fwd)
         )
 
-    def results_from_output(
-        self, lattice: Lattice, finals: np.ndarray, paths: np.ndarray,
-        n_best: int,
+    def results_from_packed(
+        self, kana: str, packed_row: np.ndarray, finals: np.ndarray,
+        paths: np.ndarray, n_best: int,
     ) -> List[DecodeResult]:
-        """Materialize surfaces from device-walked paths for one sentence."""
+        """Materialize surfaces from device-walked paths for one sentence.
+
+        Node identity lives in the packed tensor: word id + start position
+        recover the display (``<unk>`` fallback nodes surface their kana
+        substring), so no host-side lattice objects are needed.
+        """
         assert n_best <= self.config.n_best_max, (
             f"n_best={n_best} exceeds config.n_best_max="
             f"{self.config.n_best_max}"
@@ -408,8 +425,14 @@ class BeamDecoder:
             for pos, n in paths[k]:
                 if pos <= 0:
                     break
-                node = lattice.frames[int(pos)][int(n)]
-                segs.append((node.display, node.word_id))
+                node = int(packed_row[int(pos) - 1, int(n)])
+                word = node & ((1 << _WORD_BITS) - 1)
+                start = (node >> _START_SHIFT) & 0x3F
+                display = (
+                    kana[start:int(pos)] if word == UNK_ID
+                    else self.vocab.display(word)
+                )
+                segs.append((display, word))
             segs.reverse()
             results.append(
                 DecodeResult(
@@ -436,20 +459,26 @@ class BeamDecoder:
     def decode_batch(
         self, kanas: List[str], n_best: int = 1
     ) -> List[List[DecodeResult]]:
-        lattices = [
-            build_lattice(k, self.lexicon, self.vocab, self.config) for k in kanas
-        ]
-        n_real = len(lattices)
+        n_real = len(kanas)
         pad = self._bucket(n_real) - n_real
-        lattices_padded = lattices + [lattices[-1]] * pad
-        packed, lengths = pack_lattice_batch(lattices_padded)
+        kanas_padded = list(kanas) + [kanas[-1]] * pad
+        if self._native is not None:
+            packed, lengths = self._native.pack_batch(kanas_padded)
+        else:
+            lattices = [
+                build_lattice(k, self.lexicon, self.vocab, self.config)
+                for k in kanas_padded
+            ]
+            packed, lengths = pack_lattice_batch(lattices)
         out = self._decode_jit(
             self.params, jnp.asarray(packed), jnp.asarray(lengths)
         )
         finals = np.asarray(out["final_topk"])
         paths = np.asarray(out["paths"])
         return [
-            self.results_from_output(lattices[i], finals[i], paths[i], n_best)
+            self.results_from_packed(
+                kanas[i], packed[i], finals[i], paths[i], n_best
+            )
             for i in range(n_real)
         ]
 

@@ -147,3 +147,37 @@ def test_two_layer_engine_parity(lexicon, vocab):
         r_e, r_o = eng.decode(kana)[0], orc.decode(kana)[0]
         assert r_e.segments == r_o.segments
         assert abs(r_e.score - r_o.score) < 1e-3
+
+
+def test_native_builder_bit_identical(tiny_config, lexicon, vocab):
+    """C++ lattice builder output == python builder output, bit for bit."""
+    from jlm_tpu import native
+    from jlm_tpu.decoder.engine import pack_lattice_batch
+    from jlm_tpu.decoder.lattice import build_lattice
+
+    if not native.available():
+        pytest.skip("no C++ toolchain")
+    builder = native.NativeLatticeBuilder(lexicon, tiny_config)
+    kanas = ["きょうはいいてんき", "ゑび", "あめがふる", "かみとかわとき"]
+    packed_n, len_n = builder.pack_batch(kanas)
+    lats = [build_lattice(k, lexicon, vocab, tiny_config) for k in kanas]
+    packed_p, len_p = pack_lattice_batch(lats)
+    np.testing.assert_array_equal(len_n, len_p)
+    np.testing.assert_array_equal(packed_n, packed_p)
+
+
+def test_native_decode_matches_python_builder(tiny_params, tiny_config,
+                                              lexicon, vocab, oracle):
+    from jlm_tpu import native
+
+    if not native.available():
+        pytest.skip("no C++ toolchain")
+    eng_n = BeamDecoder(tiny_params, lexicon, vocab, tiny_config,
+                        use_native=True)
+    eng_p = BeamDecoder(tiny_params, lexicon, vocab, tiny_config,
+                        use_native=False)
+    for kana in ["きょうはいい", "ゑとかみ"]:
+        rn, rp = eng_n.decode(kana, 2), eng_p.decode(kana, 2)
+        assert [r.segments for r in rn] == [r.segments for r in rp]
+        ro = oracle.decode(kana, 2)
+        assert rn[0].segments == ro[0].segments
