@@ -134,3 +134,33 @@ def test_sharded_decode_top1_parity(tiny_params, lexicon, vocab):
         r_o = orc.decode(kana)[0]
         assert r[0].segments == r_o.segments, kana
         assert abs(r[0].score - r_o.score) < 1e-3
+
+
+def test_seq_pipeline_matches_sequential():
+    """Time-block pipeline over a 'seq' mesh == per-microbatch scan.
+
+    The ppermute carry hand-off (overlap-save halo across chips,
+    SURVEY.md §7) must be value-exact."""
+    import jax
+    import numpy as np
+    from jlm_tpu.parallel.seq_pipeline import (
+        make_seq_pipeline_scan,
+        seq_pipeline_ref,
+    )
+
+    P_ = 4
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:P_]), ("seq",))
+    M, B, T, E, H = 8, 2, 16, 8, 16
+    rng = np.random.default_rng(11)
+    xs = jnp.asarray(rng.normal(size=(M, B, T, E)).astype(np.float32) * 0.2)
+    W = jnp.asarray(rng.normal(size=(E + H, 4 * H)).astype(np.float32) * 0.1)
+    b = jnp.zeros((4 * H,), jnp.float32)
+    c0 = jnp.asarray(rng.normal(size=(M, B, H)).astype(np.float32) * 0.1)
+    h0 = jnp.asarray(rng.normal(size=(M, B, H)).astype(np.float32) * 0.1)
+
+    fn = make_seq_pipeline_scan(mesh)
+    hs, c_f, h_f = fn(xs, W, b, c0, h0)
+    hs_r, c_r, h_r = seq_pipeline_ref(xs, W, b, c0, h0)
+    np.testing.assert_allclose(np.asarray(hs), np.asarray(hs_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_r), atol=1e-5)
