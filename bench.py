@@ -74,9 +74,13 @@ def main():
     oracle = OracleDecoder(
         OracleLM(params, greedy_cfg), lexicon, vocab, greedy_cfg
     )
-    t0 = time.time()
-    oracle_results = [oracle.decode(k)[0] for k in kanas]
-    oracle_dt = time.time() - t0
+    # best-of-2 passes: the baseline must reflect the oracle's actual
+    # speed, not transient CPU contention on the shared host
+    oracle_dt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        oracle_results = [oracle.decode(k)[0] for k in kanas]
+        oracle_dt = min(oracle_dt, time.time() - t0)
     baseline = n_chars / oracle_dt
     log(f"oracle (CPU greedy, config 1): {n_chars} chars in "
         f"{oracle_dt:.2f}s = {baseline:.1f} chars/s")

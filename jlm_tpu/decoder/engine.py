@@ -394,9 +394,16 @@ class BeamDecoder:
             elif use_native is True:
                 raise RuntimeError("native lattice builder requested but unavailable")
         if forward_fn is None:
-            fwd = lambda p, w, s, cw: full_softmax_forward(
-                p, config, w, s, cw, precision=precision
-            )
+            if precision == "default" and jax.default_backend() == "tpu":
+                # Speed mode on TPU: Pallas head (in-kernel int8 dequant +
+                # online logsumexp, bf16 MXU) — measured ~1.7-1.9x the jnp
+                # head at flagship dims with identical top-1 paths.
+                fwd = make_pallas_forward(config, compute_dtype=jnp.bfloat16)
+            else:
+                # Parity mode (or CPU): fp32 jnp head, oracle-exact.
+                fwd = lambda p, w, s, cw: full_softmax_forward(
+                    p, config, w, s, cw, precision=precision
+                )
         else:
             fwd = forward_fn
         self._decode_jit = jax.jit(
