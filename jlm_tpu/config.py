@@ -86,6 +86,7 @@ class Config:
     max_grad_norm: float = 5.0
     epochs: int = 8
     sampled_softmax_samples: int = 0  # >0 => sampled-softmax training loss
+    use_pallas_scan: bool = False  # fused Pallas time-block LSTM scan in training
     param_dtype: str = "float32"
 
     # --- parallelism (SURVEY.md §3.3) ---

@@ -4,8 +4,8 @@ The reference has no sequence parallelism and no attention, so
 ring-attention/Ulysses have no referent (SURVEY.md §7 "Long-context");
 the recurrent analogue promised there is implemented here: the BPTT
 window's time axis is sharded over a ``seq`` mesh axis, device ``p`` owns
-time block ``p``, and the (c, h) carry is handed to the right neighbor via
-``ppermute`` — the overlap-save halo across chips.
+time block ``p``, and the per-layer (c, h) carries are handed to the right
+neighbor via ``ppermute`` — the overlap-save halo across chips.
 
 Because the recurrence is sequential, parallelism comes from PIPELINING a
 stream of M microbatches (GPipe-style over time): in round ``r`` device
@@ -14,14 +14,14 @@ microbatch has flowed through every time block.  Device utilization is
 ``M / (M + P − 1)``.
 
 This doubles as the build's pipeline-parallel (pp) dimension: stages are
-time blocks instead of layers, which is the natural cut for a 1-2 layer
-LSTM where layers are too few to pipeline but the time axis is long.
+time blocks instead of layers, the natural cut for a 1-2 layer LSTM whose
+few layers can't amortize a layer pipeline but whose time axis is long.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,45 +31,59 @@ from jax.sharding import PartitionSpec as P
 SEQ_AXIS = "seq"
 
 
+def _cell_stack(layers, forget_bias, x_t, c, h):
+    """One multi-layer fused-cell step; c,h [L,B,H]."""
+    new_c, new_h = [], []
+    x = x_t
+    for l, (W, b) in enumerate(layers):
+        z = jnp.concatenate([x, h[l]], axis=-1) @ W + b
+        i, j, f, o = jnp.split(z, 4, axis=-1)
+        cl = jax.nn.sigmoid(f + forget_bias) * c[l] + jax.nn.sigmoid(i) * jnp.tanh(j)
+        hl = jax.nn.sigmoid(o) * jnp.tanh(cl)
+        new_c.append(cl)
+        new_h.append(hl)
+        x = hl
+    return jnp.stack(new_c), jnp.stack(new_h), x
+
+
 def make_seq_pipeline_scan(
     mesh: jax.sharding.Mesh,
+    num_layers: int = 1,
     forget_bias: float = 1.0,
 ):
-    """Returns ``fn(xs [M,B,T,E], W [E+H,4H], b [4H], c0, h0 [M,B,H])
-    -> (hs [M,B,T,H], c_T, h_T [M,B,H])`` with T sharded over ``seq``.
+    """Returns ``fn(xs [M,B,T,E], layers ((W,b),...), c0, h0 [M,L,B,H])
+    -> (hs [M,B,T,H], c_T, h_T [M,L,B,H])`` with T sharded over ``seq``.
 
     Exactly equals a sequential scan over each microbatch (parity test);
     wall-clock scales ~P/(1 + (P−1)/M) over one device.
     """
     Pn = mesh.shape[SEQ_AXIS]
+    layer_specs = tuple((P(), P()) for _ in range(num_layers))
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(None, None, SEQ_AXIS, None), P(), P(), P(), P()),
+        in_specs=(P(None, None, SEQ_AXIS, None), layer_specs, P(), P()),
         out_specs=(P(None, None, SEQ_AXIS, None), P(SEQ_AXIS), P(SEQ_AXIS)),
         check_vma=False,
     )
-    def pipeline(xs_local, W, b, c0, h0):
+    def pipeline(xs_local, layers, c0, h0):
         # xs_local [M, B, TB, E]: this device's time block of every microbatch
         M, B, TB, E = xs_local.shape
-        H = h0.shape[-1]
+        L, _, H = c0.shape[1:]
         p = jax.lax.axis_index(SEQ_AXIS)
 
         def block_scan(carry, x_t):
             c, h = carry
-            z = jnp.concatenate([x_t, h], axis=-1) @ W + b
-            i, j, f, o = jnp.split(z, 4, axis=-1)
-            c = jax.nn.sigmoid(f + forget_bias) * c + jax.nn.sigmoid(i) * jnp.tanh(j)
-            h = jax.nn.sigmoid(o) * jnp.tanh(c)
-            return (c, h), h
+            c, h, top = _cell_stack(layers, forget_bias, x_t, c, h)
+            return (c, h), top
 
         def round_fn(r, state):
             hs_acc, recv_c, recv_h, done_c, done_h = state
             m = r - p  # microbatch this device works on this round
             active = (m >= 0) & (m < M)
             mc = jnp.clip(m, 0, M - 1)
-            # stage input carry: microbatch m's carry after block p-1;
+            # stage-input carry: microbatch m's carry after block p-1;
             # device 0 uses the stream's initial state instead.
             cin = jnp.where(p == 0, c0[mc], recv_c)
             hin = jnp.where(p == 0, h0[mc], recv_h)
@@ -82,7 +96,6 @@ def make_seq_pipeline_scan(
                 jax.lax.dynamic_update_index_in_dim(hs_acc, hs_blk, mc, 0),
                 hs_acc,
             )
-            # last stage records the final carry for its microbatch
             is_last = p == Pn - 1
             done_c = jnp.where(
                 active & is_last,
@@ -103,18 +116,20 @@ def make_seq_pipeline_scan(
             return hs_acc, recv_c, recv_h, done_c, done_h
 
         hs_acc = jnp.zeros((M, B, TB, H), jnp.float32)
-        zeros = jnp.zeros((B, H), jnp.float32)
-        state = (hs_acc, zeros, zeros, jnp.zeros((M, B, H)), jnp.zeros((M, B, H)))
+        zc = jnp.zeros((L, B, H), jnp.float32)
+        state = (
+            hs_acc, zc, zc,
+            jnp.zeros((M, L, B, H)), jnp.zeros((M, L, B, H)),
+        )
         hs_acc, _, _, done_c, done_h = jax.lax.fori_loop(
             0, M + Pn - 1, round_fn, state
         )
-        # final carries live on the last stage only; gather via psum of the
-        # one-hot-owned values (every other shard contributes zeros).
+        # final carries live on the last stage only; broadcast via psum of
+        # one-hot-owned values, then hand each shard its microbatch slice
+        # (out_specs P(SEQ_AXIS); caller asserts M % Pn == 0).
         mine = (jax.lax.axis_index(SEQ_AXIS) == Pn - 1).astype(jnp.float32)
         done_c = jax.lax.psum(done_c * mine, SEQ_AXIS)
         done_h = jax.lax.psum(done_h * mine, SEQ_AXIS)
-        # out_specs P(SEQ_AXIS) on the carries: hand each shard its slice
-        # of the microbatch axis (caller asserts M % Pn == 0).
         sl = jax.lax.axis_index(SEQ_AXIS) * (done_c.shape[0] // Pn)
         return (
             hs_acc,
@@ -122,29 +137,27 @@ def make_seq_pipeline_scan(
             jax.lax.dynamic_slice_in_dim(done_h, sl, done_h.shape[0] // Pn, 0),
         )
 
-    def fn(xs, W, b, c0, h0):
+    def fn(xs, layers, c0, h0):
+        assert len(layers) == num_layers
         M = xs.shape[0]
         assert M % Pn == 0, (
             f"microbatch count {M} must divide seq axis {Pn} "
             "(carry output sharding)"
         )
         assert xs.shape[2] % Pn == 0, "T must divide over the seq axis"
-        return pipeline(xs, W, b, c0, h0)
+        return pipeline(xs, tuple(tuple(l) for l in layers), c0, h0)
 
     return fn
 
 
-def seq_pipeline_ref(xs, W, b, c0, h0, forget_bias: float = 1.0):
-    """Sequential reference: independent scan per microbatch."""
+def seq_pipeline_ref(xs, layers, c0, h0, forget_bias: float = 1.0):
+    """Sequential reference: independent multi-layer scan per microbatch."""
 
     def one(x, c, h):
         def step(carry, x_t):
             c, h = carry
-            z = jnp.concatenate([x_t, h], axis=-1) @ W + b
-            i, j, f, o = jnp.split(z, 4, axis=-1)
-            c = jax.nn.sigmoid(f + forget_bias) * c + jax.nn.sigmoid(i) * jnp.tanh(j)
-            h = jax.nn.sigmoid(o) * jnp.tanh(c)
-            return (c, h), h
+            c, h, top = _cell_stack(layers, forget_bias, x_t, c, h)
+            return (c, h), top
 
         (c_f, h_f), hs = jax.lax.scan(step, (c, h), jnp.moveaxis(x, 1, 0))
         return jnp.moveaxis(hs, 0, 1), c_f, h_f

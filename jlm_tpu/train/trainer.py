@@ -57,8 +57,21 @@ class Trainer:
         self._eval_step = jax.jit(self._eval_step_fn)
 
     # --- jitted bodies -------------------------------------------------
+    def _forward(self, params, x, state):
+        if self.config.use_pallas_scan:
+            import jax as _jax
+
+            from jlm_tpu.models.lstm import forward_hidden_pallas
+
+            return forward_hidden_pallas(
+                params, self.config, x, state,
+                time_block=min(32, self.config.num_steps),
+                interpret=_jax.default_backend() != "tpu",
+            )
+        return forward_hidden(params, self.config, x, state)
+
     def _loss(self, params, x, y, state, rng):
-        hs, state = forward_hidden(params, self.config, x, state)
+        hs, state = self._forward(params, x, state)
         if self.config.sampled_softmax_samples > 0:
             loss = sampled_softmax_loss(params, self.config, hs, y, rng)
         else:
@@ -75,7 +88,7 @@ class Trainer:
         return params, opt_state, state, loss
 
     def _eval_step_fn(self, params, state, x, y):
-        hs, state = forward_hidden(params, self.config, x, state)
+        hs, state = self._forward(params, x, state)
         return full_softmax_loss(params, self.config, hs, y), state
 
     # --- checkpoint/resume of the FULL training state -------------------

@@ -79,9 +79,12 @@ def main(argv=None):
     cfg1 = Config(vocab_size=V, hidden_size=H, beam_width=1, n_best_max=1, seed=0)
     params = init_params(cfg1)
     orc = OracleDecoder(OracleLM(params, cfg1), lexicon, vocab, cfg1)
-    t0 = time.time()
-    oracle_res = [orc.decode(k)[0] for k in kanas]
-    dt = time.time() - t0
+    # best-of-2: shield the baseline from transient host CPU contention
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        oracle_res = [orc.decode(k)[0] for k in kanas]
+        dt = min(dt, time.time() - t0)
     base = n_chars / dt
     report["configs"]["1_cpu_oracle_greedy"] = {
         "chars_per_sec": round(base, 1), "hardware": "cpu-numpy",

@@ -150,17 +150,21 @@ def test_seq_pipeline_matches_sequential():
 
     P_ = 4
     mesh = jax.sharding.Mesh(np.array(jax.devices()[:P_]), ("seq",))
-    M, B, T, E, H = 8, 2, 16, 8, 16
+    M, B, T, E, H, L = 8, 2, 16, 16, 16, 2
     rng = np.random.default_rng(11)
     xs = jnp.asarray(rng.normal(size=(M, B, T, E)).astype(np.float32) * 0.2)
-    W = jnp.asarray(rng.normal(size=(E + H, 4 * H)).astype(np.float32) * 0.1)
-    b = jnp.zeros((4 * H,), jnp.float32)
-    c0 = jnp.asarray(rng.normal(size=(M, B, H)).astype(np.float32) * 0.1)
-    h0 = jnp.asarray(rng.normal(size=(M, B, H)).astype(np.float32) * 0.1)
+    layers = tuple(
+        (jnp.asarray(rng.normal(size=((E if l == 0 else H) + H, 4 * H))
+                     .astype(np.float32) * 0.1),
+         jnp.zeros((4 * H,), jnp.float32))
+        for l in range(L)
+    )
+    c0 = jnp.asarray(rng.normal(size=(M, L, B, H)).astype(np.float32) * 0.1)
+    h0 = jnp.asarray(rng.normal(size=(M, L, B, H)).astype(np.float32) * 0.1)
 
-    fn = make_seq_pipeline_scan(mesh)
-    hs, c_f, h_f = fn(xs, W, b, c0, h0)
-    hs_r, c_r, h_r = seq_pipeline_ref(xs, W, b, c0, h0)
+    fn = make_seq_pipeline_scan(mesh, num_layers=L)
+    hs, c_f, h_f = fn(xs, layers, c0, h0)
+    hs_r, c_r, h_r = seq_pipeline_ref(xs, layers, c0, h0)
     np.testing.assert_allclose(np.asarray(hs), np.asarray(hs_r), atol=1e-5)
     np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_r), atol=1e-5)
     np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_r), atol=1e-5)

@@ -108,3 +108,14 @@ def test_resume_restores_optimizer_moments(encoded, tmp_path):
     # adam moments are non-zero after an epoch of updates
     leaves = [np.asarray(x) for x in jax.tree.leaves(tr.opt_state)]
     assert any(np.abs(l).sum() > 0 for l in leaves if l.ndim > 0)
+
+
+def test_trainer_with_pallas_scan(encoded):
+    """use_pallas_scan=True trains equivalently (interpret mode on CPU)."""
+    train, dev, _ = encoded
+    cfg = small_cfg(epochs=1, use_pallas_scan=True, num_steps=8)
+    tr = Trainer(cfg)
+    ppl0 = tr.evaluate_ppl(dev[:200])
+    import jax
+    tr.run_epoch(train[:800], 0, jax.random.key(0))
+    assert tr.evaluate_ppl(dev[:200]) < ppl0
