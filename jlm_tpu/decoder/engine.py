@@ -182,7 +182,7 @@ def pack_lattice_batch(lattices: List[Lattice]) -> Tuple[np.ndarray, np.ndarray]
 
 def _unpack_lattice(packed, config: Config):
     """Device-side unpack + lookahead-table reconstruction (one scatter)."""
-    T_max = config.max_kana_len
+    T_max = packed.shape[1]
     C = config.max_lookahead
     word = packed & ((1 << _WORD_BITS) - 1)
     start = (packed >> _START_SHIFT) & 0x3F
@@ -212,8 +212,9 @@ def _decode_scan(
     config: Config,
     forward_fn: ForwardFn,
 ):
+    # T_max here is the BATCH's bucketed time bound (<= config.max_kana_len):
+    # short inputs scan far fewer frames than the global static maximum.
     S, T_max, N = packed.shape
-    assert T_max == config.max_kana_len
     B = config.beam_pad
     C = config.max_lookahead
     L, H = config.num_layers, config.hidden_size
@@ -477,6 +478,11 @@ class BeamDecoder:
                 for k in kanas_padded
             ]
             packed, lengths = pack_lattice_batch(lattices)
+        # Time bucketing: scan only as many frames as the batch needs
+        # (power-of-two buckets, capped at max_kana_len) — typical IME
+        # inputs are ~10 kana, a 62-step scan would waste ~5x device time.
+        t_bucket = min(self._bucket(int(lengths.max())), self.config.max_kana_len)
+        packed = packed[:, :t_bucket]
         out = self._decode_jit(
             self.params, jnp.asarray(packed), jnp.asarray(lengths)
         )
