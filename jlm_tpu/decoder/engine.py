@@ -144,7 +144,7 @@ def _candidate_logits_batched(head, config: Config, h_flat, ids, S, B):
                 cols = jnp.take(W["q"], local, axis=1).astype(jnp.float32)
                 cols = cols * jnp.take(W["scale"], local)[:, None, :]
             else:
-                cols = jnp.take(W, local, axis=1)  # [d, S, C1]? no: axis=1 ids [S,C1] -> [d, S, C1]
+                cols = jnp.take(W, local, axis=1)  # [d, S, C1]
             cols = jnp.moveaxis(cols, 0, -1)  # [S, C1, d]
             vals = jnp.einsum("sbd,scd->sbc", hs, cols) + jnp.take(blk["b"], local)[:, None, :]
             out = jnp.where(in_blk[:, None, :], vals, out)
