@@ -88,6 +88,8 @@ class Config:
     sampled_softmax_samples: int = 0  # >0 => sampled-softmax training loss
     use_pallas_scan: bool = False  # fused Pallas time-block LSTM scan in training
     param_dtype: str = "float32"
+    compute_dtype: str = "float32"  # "bfloat16" => mixed-precision forward
+    grad_accum_steps: int = 1  # microbatches accumulated per optimizer update
 
     # --- parallelism (SURVEY.md §3.3) ---
     mesh_data: int = 1    # data-parallel axis size (independent lattices/batches)
@@ -121,19 +123,43 @@ class Config:
         return Config(**d)
 
 
-def default_dsoftmax_blocks(vocab_size: int, hidden_size: int) -> DSoftmaxConfig:
+def pad_vocab_size(vocab_size: int, mesh_vocab: int = 1) -> int:
+    """Round the model vocab up so every vocab shard is equal-sized.
+
+    Padded ids are dead classes (never targets, never lattice candidates);
+    training pushes their logits down like any unused word's.
+    """
+    mult = max(1, mesh_vocab)
+    return -(-vocab_size // mult) * mult
+
+
+def default_dsoftmax_blocks(
+    vocab_size: int, hidden_size: int, multiple: int = 1
+) -> DSoftmaxConfig:
     """Frequency-tiered default split, Chen et al.-style (SURVEY.md §4.4).
 
     ~16% of the vocab (most frequent) gets the full hidden dim, the next
     ~34% gets half, the rarest ~50% a quarter — e.g. 100k → [16k@H,
     34k@H/2, 50k@H/4].  Dims are kept multiples of 128 for MXU tiling.
+    ``multiple`` rounds each block size so it divides evenly over a
+    ``mesh_vocab``-way column sharding (vocab_size must itself divide).
     """
 
+    # MXU-friendly 128-lane alignment at flagship dims; clamp to H so small
+    # (test-scale) hidden sizes still get a valid prefix slice.
+    unit = 128 if hidden_size >= 256 else 8
     def align(d):
-        return max(128, (d // 128) * 128)
+        return min(hidden_size, max(unit, (d // unit) * unit))
 
-    b0 = int(vocab_size * 0.16)
-    b1 = int(vocab_size * 0.34)
+    def round_to(b):
+        return max(multiple, (b // multiple) * multiple)
+
+    assert vocab_size % max(1, multiple) == 0, (
+        f"vocab_size {vocab_size} must divide by multiple={multiple}; "
+        "pad it with pad_vocab_size() first"
+    )
+    b0 = round_to(int(vocab_size * 0.16))
+    b1 = round_to(int(vocab_size * 0.34))
     b2 = vocab_size - b0 - b1
     return DSoftmaxConfig(
         block_sizes=(b0, b1, b2),

@@ -6,11 +6,16 @@ over ``vocab`` (the vocab-parallel CE of
 :mod:`jlm_tpu.parallel.sharded_head`), LSTM/embedding replicated.  The same
 program runs on any mesh shape — 1 chip, 1 host, N hosts — with XLA
 compiling the collectives onto ICI/DCN.
+
+The step signature mirrors the single-device :class:`jlm_tpu.train.Trainer`
+step (``rng``/``lr`` threaded through) so :class:`Trainer` can swap it in
+behind the same epoch loop; ``lr`` lands in ``opt_state.hyperparams`` when
+the optimizer was built with ``optax.inject_hyperparams`` (the reference's
+per-epoch lr decay, SURVEY.md §4.8).
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Tuple
 
 import jax
@@ -19,13 +24,36 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from jlm_tpu.config import Config
-from jlm_tpu.models.lstm import forward_hidden, initial_state
+from jlm_tpu.models.lstm import forward_hidden
 from jlm_tpu.parallel.mesh import DATA_AXIS
 from jlm_tpu.parallel.sharded_head import (
-    param_shardings,
     shard_params,
     vocab_parallel_nll,
 )
+
+
+def _cast_floats(tree: Any, dtype) -> Any:
+    """Cast float leaves (incl. int8-quant scales untouched) to ``dtype``."""
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+    return jax.tree.map(cast, tree)
+
+
+def _make_loss_fn(mesh: jax.sharding.Mesh, config: Config, precision: str):
+    loss_head = vocab_parallel_nll(mesh, config, precision)
+    bf16 = config.compute_dtype == "bfloat16"
+
+    def loss_fn(params, state, x, y):
+        fparams = _cast_floats(params, jnp.bfloat16) if bf16 else params
+        if bf16:
+            state = jax.tree.map(lambda s: s.astype(jnp.bfloat16), state)
+        hs, new_state = forward_hidden(fparams, config, x, state, precision)
+        new_state = jax.tree.map(lambda s: s.astype(jnp.float32), new_state)
+        return loss_head(fparams, hs, y), new_state
+
+    return loss_fn
 
 
 def make_sharded_train_step(
@@ -34,24 +62,23 @@ def make_sharded_train_step(
     optimizer: optax.GradientTransformation,
     precision: str = "default",
 ) -> Callable:
-    """Returns jitted ``step(params, opt_state, state, x, y) -> (...)``.
+    """Returns jitted ``step(params, opt_state, state, x, y[, rng, lr])``.
 
     ``x``/``y`` are ``[B, T]`` with rows sharded over ``data``; the LSTM
     state is likewise batch-sharded.  The loss's internal ``pmean`` over
     ``data`` makes gradients global-batch means, so no separate grad
-    all-reduce is needed.
+    all-reduce is needed.  ``rng`` is accepted (unused) for signature parity
+    with the single-device step; ``lr`` overrides
+    ``opt_state.hyperparams["learning_rate"]`` when present.
     """
-    loss_head = vocab_parallel_nll(mesh, config, precision)
-
-    def loss_fn(params, state, x, y):
-        hs, new_state = forward_hidden(params, config, x, state, precision)
-        return loss_head(params, hs, y), new_state
+    loss_fn = _make_loss_fn(mesh, config, precision)
 
     data_sharding = NamedSharding(mesh, P(DATA_AXIS))
     state_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
 
     @jax.jit
-    def step(params, opt_state, state, x, y):
+    def step(params, opt_state, state, x, y, rng=None, lr=None):
+        del rng
         x = jax.lax.with_sharding_constraint(x, data_sharding)
         y = jax.lax.with_sharding_constraint(y, data_sharding)
         state = jax.tree.map(
@@ -60,11 +87,35 @@ def make_sharded_train_step(
         (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, state, x, y
         )
+        if lr is not None and hasattr(opt_state, "hyperparams"):
+            opt_state.hyperparams["learning_rate"] = lr
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, new_state, loss
 
     return step
+
+
+def make_sharded_eval_step(
+    mesh: jax.sharding.Mesh, config: Config, precision: str = "default"
+) -> Callable:
+    """Jitted ``eval(params, state, x, y) -> (mean NLL, state')`` on the mesh."""
+    loss_fn = _make_loss_fn(mesh, config, precision)
+
+    data_sharding = NamedSharding(mesh, P(DATA_AXIS))
+    state_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+
+    @jax.jit
+    def eval_step(params, state, x, y):
+        x = jax.lax.with_sharding_constraint(x, data_sharding)
+        y = jax.lax.with_sharding_constraint(y, data_sharding)
+        state = jax.tree.map(
+            lambda s: jax.lax.with_sharding_constraint(s, state_sharding), state
+        )
+        loss, new_state = loss_fn(params, state, x, y)
+        return loss, new_state
+
+    return eval_step
 
 
 def init_sharded_training(

@@ -32,12 +32,28 @@ from jlm_tpu.train.checkpoint import append_log, save_checkpoint
 
 def make_optimizer(config: Config) -> optax.GradientTransformation:
     base = optax.adam if config.optimizer == "adam" else optax.sgd
-    return optax.inject_hyperparams(
-        lambda learning_rate: optax.chain(
+
+    def build(learning_rate):
+        tx = optax.chain(
             optax.clip_by_global_norm(config.max_grad_norm),
             base(learning_rate),
         )
-    )(learning_rate=config.learning_rate)
+        if config.grad_accum_steps > 1:
+            # Accumulate k microbatch grads, then clip+update on their mean
+            # (scales the effective batch without scaling per-step memory).
+            tx = optax.MultiSteps(tx, every_k_schedule=config.grad_accum_steps)
+        return tx
+
+    return optax.inject_hyperparams(build)(learning_rate=config.learning_rate)
+
+
+def cast_floats(tree: Any, dtype) -> Any:
+    """Cast float leaves to ``dtype`` (int8 ``q`` leaves pass through)."""
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+    return jax.tree.map(cast, tree)
 
 
 def epoch_lr(config: Config, epoch: int) -> float:
@@ -47,35 +63,80 @@ def epoch_lr(config: Config, epoch: int) -> float:
 
 
 class Trainer:
-    def __init__(self, config: Config, params: Optional[Any] = None):
+    """Single-device trainer; pass ``mesh`` to scale the same loop SPMD.
+
+    With a ``(data, vocab)`` mesh the step swaps to
+    :func:`jlm_tpu.parallel.train_step.make_sharded_train_step` (batch rows
+    over ``data``, vocab-parallel CE over ``vocab``) — the epoch loop,
+    checkpoints, lr schedule, and PPL eval are identical.
+    """
+
+    def __init__(
+        self,
+        config: Config,
+        params: Optional[Any] = None,
+        mesh: Optional[Any] = None,
+    ):
         self.config = config
         self.params = params if params is not None else init_params(config)
         self.params = jax.tree.map(jnp.asarray, self.params)
         self.opt = make_optimizer(config)
-        self.opt_state = self.opt.init(self.params)
-        self._train_step = jax.jit(self._train_step_fn)
-        self._eval_step = jax.jit(self._eval_step_fn)
+        self.mesh = mesh
+        if mesh is not None and mesh.devices.size > 1:
+            if config.sampled_softmax_samples > 0:
+                raise ValueError(
+                    "sampled softmax is a single-device training loss; the "
+                    "sharded path trains with vocab-parallel full-softmax CE"
+                )
+            from jlm_tpu.parallel.train_step import (
+                init_sharded_training,
+                make_sharded_eval_step,
+                make_sharded_train_step,
+            )
+
+            self.params, self.opt_state = init_sharded_training(
+                self.params, config, mesh, self.opt
+            )
+            self._train_step = make_sharded_train_step(mesh, config, self.opt)
+            self._eval_step = make_sharded_eval_step(mesh, config)
+        else:
+            self.opt_state = self.opt.init(self.params)
+            self._train_step = jax.jit(self._train_step_fn)
+            self._eval_step = jax.jit(self._eval_step_fn)
 
     # --- jitted bodies -------------------------------------------------
     def _forward(self, params, x, state):
-        if self.config.use_pallas_scan:
+        cfg = self.config
+        bf16 = cfg.compute_dtype == "bfloat16"
+        if cfg.use_pallas_scan:
             import jax as _jax
 
             from jlm_tpu.models.lstm import forward_hidden_pallas
 
             return forward_hidden_pallas(
-                params, self.config, x, state,
-                time_block=min(32, self.config.num_steps),
+                params, cfg, x, state,
+                time_block=min(32, cfg.num_steps),
+                compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
                 interpret=_jax.default_backend() != "tpu",
             )
-        return forward_hidden(params, self.config, x, state)
+        if bf16:
+            # Mixed precision: fp32 master params, bf16 forward; the cast's
+            # transpose returns fp32 grads to the optimizer.
+            state = jax.tree.map(lambda s: s.astype(jnp.bfloat16), state)
+            hs, state = forward_hidden(cast_floats(params, jnp.bfloat16),
+                                       cfg, x, state)
+            return hs, jax.tree.map(lambda s: s.astype(jnp.float32), state)
+        return forward_hidden(params, cfg, x, state)
 
     def _loss(self, params, x, y, state, rng):
+        cfg = self.config
         hs, state = self._forward(params, x, state)
-        if self.config.sampled_softmax_samples > 0:
-            loss = sampled_softmax_loss(params, self.config, hs, y, rng)
+        bf16 = cfg.compute_dtype == "bfloat16" and not cfg.use_pallas_scan
+        head_params = cast_floats(params, jnp.bfloat16) if bf16 else params
+        if cfg.sampled_softmax_samples > 0:
+            loss = sampled_softmax_loss(head_params, cfg, hs, y, rng)
         else:
-            loss = full_softmax_loss(params, self.config, hs, y)
+            loss = full_softmax_loss(head_params, cfg, hs, y)
         return loss, state
 
     def _train_step_fn(self, params, opt_state, state, x, y, rng, lr):
@@ -96,37 +157,75 @@ class Trainer:
     # "Checkpoint / resume".)  Optimizer leaves are stored flat; the tree
     # structure is rebuilt from a fresh opt.init of the same config, so the
     # archive stays plain arrays (no pickled Python objects).
+    @staticmethod
+    def _to_host(x):
+        """Fetch an array to host numpy; allgathers multi-host shards."""
+        if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            x = multihost_utils.process_allgather(x, tiled=True)
+        return np.asarray(x)
+
     def save_state(self, exp_dir: str, epoch: int) -> str:
+        """Checkpoint params+optimizer+epoch.
+
+        Call on EVERY process (the multi-host allgather is collective);
+        only process 0 touches the filesystem.
+        """
         import os
 
+        host_params = jax.tree.map(self._to_host, self.params)
+        leaves = [self._to_host(x) for x in jax.tree.leaves(self.opt_state)]
+        if jax.process_index() != 0:
+            return ""
         os.makedirs(exp_dir, exist_ok=True)
-        save_checkpoint(exp_dir, jax.tree.map(np.asarray, self.params),
-                        self.config, tag="latest")
-        leaves = [np.asarray(x) for x in jax.tree.leaves(self.opt_state)]
+        save_checkpoint(exp_dir, host_params, self.config, tag="latest")
         path = os.path.join(exp_dir, "opt_state.npz")
         np.savez(path, epoch=np.int64(epoch),
                  **{f"leaf{i}": l for i, l in enumerate(leaves)})
         return path
 
     def load_state(self, exp_dir: str) -> int:
-        """Restore params + optimizer state; returns the next epoch index."""
+        """Restore params + optimizer state; returns the next epoch index.
+
+        In sharded mode the restored leaves are re-placed onto the mesh with
+        the same shardings a fresh :func:`init_sharded_training` would give
+        them, so a run can resume on a different host/mesh topology as long
+        as the mesh axis sizes still divide the vocab.
+        """
         import os
 
         from jlm_tpu.train.checkpoint import load_checkpoint
 
         params, _ = load_checkpoint(exp_dir, tag="latest")
         self.params = jax.tree.map(jnp.asarray, params)
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            from jlm_tpu.parallel.sharded_head import shard_params
+
+            self.params = shard_params(self.params, self.config, self.mesh)
         path = os.path.join(exp_dir, "opt_state.npz")
         if not os.path.exists(path):
-            self.opt_state = self.opt.init(self.params)
+            self.opt_state = jax.jit(self.opt.init)(self.params)
             return 0
         with np.load(path) as z:
             leaves = [z[f"leaf{i}"] for i in range(len(z.files) - 1)]
             epoch = int(z["epoch"])
-        template = self.opt.init(self.params)
-        treedef = jax.tree.structure(template)
+        template = jax.jit(self.opt.init)(self.params)
+        tleaves, treedef = jax.tree.flatten(template)
+
+        def put(l, t):
+            if self.mesh is not None and self.mesh.devices.size > 1:
+                from jax.sharding import NamedSharding, PartitionSpec
+                s = getattr(t, "sharding", None)
+                if not isinstance(s, NamedSharding):
+                    # scalar counters etc.: replicate over the whole mesh so
+                    # every step input spans the same device set
+                    s = NamedSharding(self.mesh, PartitionSpec())
+                return jax.device_put(l, s)
+            return jnp.asarray(l)
+
         self.opt_state = jax.tree.unflatten(
-            treedef, [jnp.asarray(l) for l in leaves]
+            treedef, [put(l, t) for l, t in zip(leaves, tleaves)]
         )
         return epoch + 1
 
@@ -172,13 +271,15 @@ def train_lm(
     exp_dir: Optional[str] = None,
     log: bool = True,
     resume: bool = False,
+    mesh: Optional[Any] = None,
 ) -> Tuple[Any, List[Dict[str, float]]]:
     """Full training run; returns (params, per-epoch history).
 
     ``resume=True`` restores params + optimizer state + epoch counter from
     ``exp_dir`` and continues (a crashed run re-enters at the next epoch).
+    ``mesh`` switches the step to the sharded SPMD program (same loop).
     """
-    trainer = Trainer(config)
+    trainer = Trainer(config, mesh=mesh)
     start_epoch = 0
     if resume and exp_dir:
         start_epoch = trainer.load_state(exp_dir)
@@ -199,13 +300,14 @@ def train_lm(
             "seconds": time.time() - t0,
         }
         history.append(rec)
-        if log:
+        if log and jax.process_index() == 0:
             print(
                 f"epoch {epoch}: train_ppl={train_ppl:.2f} "
                 f"dev_ppl={dev_ppl:.2f} lr={rec['lr']:.4g} "
                 f"({rec['seconds']:.1f}s)"
             )
         if exp_dir:
-            append_log(exp_dir, rec)
+            if jax.process_index() == 0:
+                append_log(exp_dir, rec)
             trainer.save_state(exp_dir, epoch)
     return trainer.params, history

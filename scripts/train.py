@@ -2,12 +2,18 @@
 """Training CLI (ref: JLM:train/train.py — SURVEY.md §5.2).
 
   python scripts/train.py --data data/ --exp experiments/h512-v50k \
-      --hidden-size 512 --epochs 8 [--sampled-softmax 1024] [--dsoftmax]
+      --hidden-size 512 --epochs 8 [--sampled-softmax 1024] [--dsoftmax] \
+      [--mesh-data 2 --mesh-vocab 4] [--bf16] [--grad-accum 4] [--resume]
+
+With ``--mesh-data``/``--mesh-vocab`` the same epoch loop runs the sharded
+SPMD step (batch rows over ``data``, vocab-parallel CE over ``vocab``) on
+however many local devices the mesh needs; combine with
+``scripts/launch_multihost.py`` for multi-host runs.
 """
 
 import argparse
 
-from jlm_tpu.config import Config, default_dsoftmax_blocks
+from jlm_tpu.config import Config, default_dsoftmax_blocks, pad_vocab_size
 from jlm_tpu.data.io import load_dataset
 from jlm_tpu.train import train_lm
 
@@ -28,11 +34,26 @@ def main(argv=None):
     ap.add_argument("--sampled-softmax", type=int, default=0)
     ap.add_argument("--dsoftmax", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--mesh-data", type=int, default=1,
+                    help="data-parallel axis size (sharded step if product>1)")
+    ap.add_argument("--mesh-vocab", type=int, default=1,
+                    help="vocab (tensor) parallel axis size")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 forward/backward with fp32 master params")
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="microbatches accumulated per optimizer update")
+    ap.add_argument("--pallas-scan", action="store_true",
+                    help="fused Pallas time-block LSTM scan in training")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the latest checkpoint in --exp")
     args = ap.parse_args(argv)
 
     vocab, train, dev, _ = load_dataset(args.data)
+    # Pad the model vocab so each vocab shard is equal-sized; padded ids
+    # are dead classes (never appear as targets or lattice candidates).
+    v_model = pad_vocab_size(len(vocab), args.mesh_vocab)
     cfg = Config(
-        vocab_size=len(vocab),
+        vocab_size=v_model,
         embed_size=args.embed_size,
         hidden_size=args.hidden_size,
         num_layers=args.num_layers,
@@ -45,13 +66,24 @@ def main(argv=None):
         sampled_softmax_samples=args.sampled_softmax,
         head="dsoftmax" if args.dsoftmax else "full",
         dsoftmax=(
-            default_dsoftmax_blocks(len(vocab), args.hidden_size)
+            default_dsoftmax_blocks(v_model, args.hidden_size,
+                                    multiple=args.mesh_vocab)
             if args.dsoftmax
             else None
         ),
         seed=args.seed,
+        mesh_data=args.mesh_data,
+        mesh_vocab=args.mesh_vocab,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+        grad_accum_steps=args.grad_accum,
+        use_pallas_scan=args.pallas_scan,
     )
-    train_lm(cfg, train, dev, exp_dir=args.exp)
+    mesh = None
+    if cfg.mesh_data * cfg.mesh_vocab > 1:
+        from jlm_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(cfg)
+    train_lm(cfg, train, dev, exp_dir=args.exp, resume=args.resume, mesh=mesh)
 
 
 if __name__ == "__main__":

@@ -136,6 +136,57 @@ def test_sharded_decode_top1_parity(tiny_params, lexicon, vocab):
         assert abs(r[0].score - r_o.score) < 1e-3
 
 
+def test_sharded_trainer_matches_single(encoded, tmp_path):
+    """Trainer(mesh) == Trainer() step-for-step, and resumes sharded.
+
+    The mesh-backed step (vocab-parallel CE, data-sharded rows) must produce
+    the same params as the single-device step — grad sync is exact, not
+    approximate (SURVEY.md §3.3)."""
+    from jlm_tpu.train import Trainer
+
+    train, dev, _ = encoded
+    kw = dict(vocab_size=256, embed_size=16, hidden_size=32, batch_size=4,
+              num_steps=8, learning_rate=5e-3, seed=5)
+    cfg_s = Config(mesh_data=2, mesh_vocab=4, **kw)
+    mesh = make_mesh(cfg_s)
+    tr_m = Trainer(cfg_s, mesh=mesh)
+    tr_1 = Trainer(Config(**kw))
+
+    rng = jax.random.key(0)
+    tr_m.run_epoch(train[:1600], 0, rng)
+    tr_1.run_epoch(train[:1600], 0, rng)
+    for lm, l1 in zip(jax.tree.leaves(tr_m.params), jax.tree.leaves(tr_1.params)):
+        np.testing.assert_allclose(
+            np.asarray(lm), np.asarray(l1), atol=2e-4,
+        )
+    p_m = tr_m.evaluate_ppl(dev[:400])
+    p_1 = tr_1.evaluate_ppl(dev[:400])
+    assert abs(p_m - p_1) / p_1 < 1e-3
+
+    # sharded save → sharded resume round-trips (incl. optimizer moments)
+    tr_m.save_state(str(tmp_path), epoch=0)
+    tr_r = Trainer(cfg_s, mesh=mesh)
+    assert tr_r.load_state(str(tmp_path)) == 1
+    for la, lb in zip(jax.tree.leaves(tr_m.params), jax.tree.leaves(tr_r.params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=0)
+    assert abs(tr_r.evaluate_ppl(dev[:400]) - p_m) < 1e-6
+
+
+def test_sharded_trainer_bf16_and_accum_smoke(encoded):
+    """Sharded step with bf16 compute + grad accumulation still learns."""
+    from jlm_tpu.train import Trainer
+
+    train, dev, _ = encoded
+    cfg = Config(vocab_size=256, embed_size=16, hidden_size=32, batch_size=4,
+                 num_steps=8, learning_rate=5e-3, seed=5, mesh_data=2,
+                 mesh_vocab=4, compute_dtype="bfloat16", grad_accum_steps=2)
+    mesh = make_mesh(cfg)
+    tr = Trainer(cfg, mesh=mesh)
+    ppl0 = tr.evaluate_ppl(dev[:400])
+    tr.run_epoch(train[:2000], 0, jax.random.key(1))
+    assert tr.evaluate_ppl(dev[:400]) < ppl0
+
+
 def test_seq_pipeline_matches_sequential():
     """Time-block pipeline over a 'seq' mesh == per-microbatch scan.
 

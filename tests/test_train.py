@@ -110,6 +110,54 @@ def test_resume_restores_optimizer_moments(encoded, tmp_path):
     assert any(np.abs(l).sum() > 0 for l in leaves if l.ndim > 0)
 
 
+def test_grad_accum_equals_big_batch(encoded):
+    """k accumulated microbatches == one step on the k-x batch (SGD).
+
+    With equal-size microbatches and no clipping, optax.MultiSteps applies
+    SGD to the mean of the k grads, which equals the grad of the mean loss
+    over the concatenated batch (zero initial state, independent rows).
+    """
+    import jax.numpy as jnp
+    from jlm_tpu.models.lstm import initial_state
+
+    train, _, _ = encoded
+    base = dict(optimizer="sgd", learning_rate=1e-2, max_grad_norm=1e9)
+    rng = jax.random.key(0)
+    x = np.asarray(train[: 8 * 8]).reshape(8, 8).astype(np.int32)
+    y = np.roll(x, -1, axis=1)
+
+    cfg_a = small_cfg(batch_size=4, grad_accum_steps=2, **base)
+    tr_a = Trainer(cfg_a)
+    st = initial_state(cfg_a, 4)
+    lr = jnp.float32(1e-2)
+    for mb in (slice(0, 4), slice(4, 8)):
+        tr_a.params, tr_a.opt_state, _, _ = tr_a._train_step(
+            tr_a.params, tr_a.opt_state, st, jnp.asarray(x[mb]),
+            jnp.asarray(y[mb]), rng, lr,
+        )
+
+    cfg_b = small_cfg(batch_size=8, **base)
+    tr_b = Trainer(cfg_b)
+    stb = initial_state(cfg_b, 8)
+    tr_b.params, *_ = tr_b._train_step(
+        tr_b.params, tr_b.opt_state, stb, jnp.asarray(x), jnp.asarray(y),
+        rng, lr,
+    )
+    for la, lb in zip(jax.tree.leaves(tr_a.params), jax.tree.leaves(tr_b.params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-6)
+
+
+def test_bf16_training_improves(encoded):
+    """compute_dtype=bfloat16 (fp32 master params) still learns."""
+    train, dev, _ = encoded
+    cfg = small_cfg(compute_dtype="bfloat16")
+    tr = Trainer(cfg)
+    assert tr.params["embedding"].dtype == np.float32  # master stays fp32
+    ppl0 = tr.evaluate_ppl(dev[:400])
+    tr.run_epoch(train[:2000], 0, jax.random.key(0))
+    assert tr.evaluate_ppl(dev[:400]) < ppl0
+
+
 def test_trainer_with_pallas_scan(encoded):
     """use_pallas_scan=True trains equivalently (interpret mode on CPU)."""
     train, dev, _ = encoded
