@@ -14,6 +14,12 @@ from jlm_tpu.data.corpus import (  # noqa: F401
     split_corpus,
 )
 from jlm_tpu.data.lexicon import Lexicon  # noqa: F401
+from jlm_tpu.data.streaming import (  # noqa: F401
+    build_vocab_file,
+    encode_corpus_file,
+    save_dataset_streamed,
+    stream_lines,
+)
 from jlm_tpu.data.reader import bptt_batches  # noqa: F401
 from jlm_tpu.data.synthetic import (  # noqa: F401
     SYNTH_WORDS,

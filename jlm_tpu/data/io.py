@@ -50,6 +50,13 @@ def save_dataset(
 def load_dataset(
     data_dir: str,
 ) -> Tuple[Vocab, np.ndarray, np.ndarray, np.ndarray]:
+    """Load a data dir — in-memory npz or streamed bin (memory-mapped)."""
+    if not os.path.exists(os.path.join(data_dir, "corpus.npz")) and os.path.exists(
+        os.path.join(data_dir, "meta.json")
+    ):
+        from jlm_tpu.data.streaming import load_dataset_bin
+
+        return load_dataset_bin(data_dir)
     vocab = load_vocab(os.path.join(data_dir, "vocab.tsv"))
     with np.load(os.path.join(data_dir, "corpus.npz")) as z:
         return vocab, z["train"], z["dev"], z["test"]

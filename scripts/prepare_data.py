@@ -24,7 +24,22 @@ def main(argv=None):
     ap.add_argument("--vocab-size", type=int, default=50_000)
     ap.add_argument("--dev-frac", type=float, default=0.05)
     ap.add_argument("--test-frac", type=float, default=0.05)
+    ap.add_argument("--stream", action="store_true",
+                    help="constant-memory prep: native C++ chunk encoder, "
+                         "memory-mapped corpus.bin output (for corpora that "
+                         "don't fit in RAM)")
     args = ap.parse_args(argv)
+
+    if args.stream:
+        assert args.corpus, "--stream requires --corpus (a file to stream)"
+        from jlm_tpu.data.streaming import save_dataset_streamed
+
+        vocab, n = save_dataset_streamed(
+            args.out, args.corpus, args.vocab_size,
+            args.dev_frac, args.test_frac,
+        )
+        print(f"wrote {args.out} (streamed): vocab={len(vocab)} ids={n}")
+        return
 
     if args.corpus:
         with open(args.corpus) as f:
