@@ -63,7 +63,7 @@ def _root_init(params, *, config, precision):
     return c, h, h_top, lse, eos
 
 
-def _keystroke_step(
+def _frame_rows(
     params,
     score_cache,  # [T_max+1, B]
     lse_cache,  # [T_max+1, B]
@@ -71,14 +71,20 @@ def _keystroke_step(
     c_cache,  # [T_max+1, L, B, H]
     h_cache,  # [T_max+1, L, B, H]
     htop_cache,  # [T_max+1, B, H]
-    pos,  # int32 scalar: the new end position (1-based)
-    node_word,  # int32 [N] nodes ending at pos
+    node_word,  # int32 [N] nodes ending at the new position
     node_start,  # int32 [N]
     node_mask,  # bool [N]
     *,
     config: Config,
     precision: str,
 ):
+    """One frame's beam extension WITHOUT cache writes.
+
+    Returns the new cache ROW values ``(score, lse, eos, c, h, h_top)`` plus
+    the packed host payload — so the same body serves the committed
+    keystroke step and the batched speculative step (which computes rows for
+    several hypothetical next kana and commits at most one).
+    """
     B = config.beam_pad
     NEG = jnp.float32(-1e30)
 
@@ -106,13 +112,6 @@ def _keystroke_step(
     (c2, h2), h_top, lse, eos = _forward_with_lse(
         params, config, new_words, (new_c, new_h), precision
     )
-
-    score_cache = score_cache.at[pos].set(top_scores)
-    lse_cache = lse_cache.at[pos].set(lse)
-    eos_cache = eos_cache.at[pos].set(eos)
-    c_cache = c_cache.at[pos].set(c2)
-    h_cache = h_cache.at[pos].set(h2)
-    htop_cache = htop_cache.at[pos].set(h_top)
     finals = top_scores + eos
     # Pack the per-keystroke host payload into ONE int32 array: each host
     # fetch costs a full RPC round trip on tunneled backends; one fetch per
@@ -125,10 +124,76 @@ def _keystroke_step(
             jax.lax.bitcast_convert_type(finals, jnp.int32),
         ]
     )
+    return (top_scores, lse, eos, c2, h2, h_top), packed_out
+
+
+def _commit_rows(
+    score_cache, lse_cache, eos_cache, c_cache, h_cache, htop_cache,
+    pos, rows,
+):
+    """Write one frame's row values into the caches at ``pos``."""
+    top_scores, lse, eos, c2, h2, h_top = rows
     return (
-        (score_cache, lse_cache, eos_cache, c_cache, h_cache, htop_cache),
-        packed_out,
+        score_cache.at[pos].set(top_scores),
+        lse_cache.at[pos].set(lse),
+        eos_cache.at[pos].set(eos),
+        c_cache.at[pos].set(c2),
+        h_cache.at[pos].set(h2),
+        htop_cache.at[pos].set(h_top),
     )
+
+
+def _keystroke_step(
+    params,
+    score_cache,
+    lse_cache,
+    eos_cache,
+    c_cache,
+    h_cache,
+    htop_cache,
+    pos,  # int32 scalar: the new end position (1-based)
+    node_word,  # int32 [N] nodes ending at pos
+    node_start,  # int32 [N]
+    node_mask,  # bool [N]
+    *,
+    config: Config,
+    precision: str,
+):
+    rows, packed_out = _frame_rows(
+        params, score_cache, lse_cache, eos_cache, c_cache, h_cache,
+        htop_cache, node_word, node_start, node_mask,
+        config=config, precision=precision,
+    )
+    caches = _commit_rows(
+        score_cache, lse_cache, eos_cache, c_cache, h_cache, htop_cache,
+        pos, rows,
+    )
+    return caches, packed_out
+
+
+def _speculative_step(
+    params,
+    score_cache, lse_cache, eos_cache, c_cache, h_cache, htop_cache,
+    node_word,  # int32 [K, N]: frame nodes for K hypothetical next kana
+    node_start,  # int32 [K, N]
+    node_mask,  # bool [K, N]
+    *,
+    config: Config,
+    precision: str,
+):
+    """Frame rows for K speculative next keystrokes in ONE device call.
+
+    vmapped over the kana hypotheses (caches broadcast): at beam_pad-sized
+    batches the step is latency-bound, so K hypotheses cost ~the same wall
+    time as one — the speculation that hits makes the next push a pure
+    cache-commit + fetch (no LM forward on the critical path).
+    """
+    return jax.vmap(
+        lambda nw, ns, nm: _frame_rows(
+            params, score_cache, lse_cache, eos_cache, c_cache, h_cache,
+            htop_cache, nw, ns, nm, config=config, precision=precision,
+        )
+    )(node_word, node_start, node_mask)
 
 
 class IncrementalDecoder:
@@ -146,6 +211,8 @@ class IncrementalDecoder:
         vocab: Vocab,
         config: Config,
         precision: str = "highest",
+        speculate: int = 0,
+        next_char_predictor=None,
     ):
         # device-resident params: avoid re-uploading weights every keystroke
         self.params = jax.tree.map(jnp.asarray, params)
@@ -158,7 +225,42 @@ class IncrementalDecoder:
         self._step = jax.jit(
             functools.partial(_keystroke_step, config=config, precision=precision)
         )
+        # Speculative lookahead: after each keystroke, pre-decode the next
+        # frame for the K most likely next kana in one batched device call;
+        # a hit makes the next push a cache-commit + fetch (the LM forward
+        # is off the critical path).  K=0 disables.
+        self.speculate = int(speculate)
+        self._predict_next = next_char_predictor or self._default_predictor()
+        if self.speculate > 0:
+            self._spec_step = jax.jit(
+                functools.partial(
+                    _speculative_step, config=config, precision=precision
+                )
+            )
+            self._commit = jax.jit(_commit_rows)
+        self._spec: dict = {}
+        self.spec_hits = 0
+        self.spec_misses = 0
         self.reset()
+
+    def _default_predictor(self):
+        """Static kana prior: corpus-frequency-weighted kana occurrence.
+
+        Ranks every kana that appears in any vocab reading by the total
+        corpus count of tokens containing it.  A pluggable
+        ``next_char_predictor(kana_prefix) -> [chars]`` can replace this
+        with an LM- or layout-aware model.
+        """
+        weight: dict = {}
+        for tok, cnt in zip(self.vocab.tokens, np.asarray(self.vocab.counts)):
+            for ch in tok.reading:
+                weight[ch] = weight.get(ch, 0) + int(cnt)
+        ranked = [c for c, _ in sorted(weight.items(), key=lambda kv: -kv[1])]
+
+        def predict(_prefix: str):
+            return ranked
+
+        return predict
 
     def reset(self) -> None:
         cfg = self.config
@@ -176,24 +278,67 @@ class IncrementalDecoder:
         self._frames: List[List[Node]] = [[]]  # frames[j] = nodes ending at j
         self._bp: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = [None]
         self._finals: List[Optional[np.ndarray]] = [None]
+        self._spec = {}
+        self._speculate_next()
 
-    def _frame_nodes(self, pos: int) -> List[Node]:
-        """Nodes ending at ``pos`` for the current kana prefix.
+    def _frame_nodes(self, pos: int, kana: Optional[str] = None) -> List[Node]:
+        """Nodes ending at ``pos`` for a kana prefix (default: current).
 
         Same canonical order as :func:`jlm_tpu.decoder.lattice.build_lattice`
         (start ascending, dictionary order within a start), so incremental
         results are tie-for-tie identical to batch decoding.
         """
         cfg = self.config
+        kana = self.kana if kana is None else kana
         M = min(cfg.max_word_len, self.lexicon.max_reading_len)
         nodes: List[Node] = []
         for start in range(max(0, pos - M), pos):
-            reading = self.kana[start:pos]
+            reading = kana[start:pos]
             for wid, disp in self.lexicon.candidates(reading):
                 display = disp if disp is not None else self.vocab.display(wid)
                 nodes.append(Node(wid, start, pos, display))
         nodes.sort(key=lambda n: n.start)
         return nodes[: cfg.max_nodes_per_frame]
+
+    def _nodes_tensor(self, nodes: List[Node]):
+        N = self.config.max_nodes_per_frame
+        nw = np.full(N, EOS_ID, np.int32)
+        ns = np.zeros(N, np.int32)
+        nm = np.zeros(N, bool)
+        for k, n in enumerate(nodes):
+            nw[k], ns[k], nm[k] = n.word_id, n.start, True
+        return nw, ns, nm
+
+    def _speculate_next(self) -> None:
+        """Pre-decode the next frame for the top-K likely next kana."""
+        self._spec = {}
+        if self.speculate <= 0:
+            return
+        pos = len(self.kana) + 1
+        if pos > self.config.max_kana_len:
+            return
+        chars = list(self._predict_next(self.kana))[: self.speculate]
+        if not chars:
+            return
+        per_char = []
+        for ch in chars:
+            nodes = self._frame_nodes(pos, self.kana + ch)
+            per_char.append((ch, nodes, self._nodes_tensor(nodes)))
+        nw = np.stack([t[2][0] for t in per_char])
+        ns = np.stack([t[2][1] for t in per_char])
+        nm = np.stack([t[2][2] for t in per_char])
+        rows, packed = self._spec_step(
+            self.params, self._score, self._lse, self._eos, self._c,
+            self._h, self._htop,
+            jnp.asarray(nw), jnp.asarray(ns), jnp.asarray(nm),
+        )
+        # Keep DEVICE arrays (no fetch): commit/fetch happens on a hit only.
+        for k, (ch, nodes, _) in enumerate(per_char):
+            self._spec[ch] = (
+                jax.tree.map(lambda r, k=k: r[k], rows),
+                packed[k],
+                nodes,
+            )
 
     def push(self, kana_char: str, n_best: int = 1) -> List[DecodeResult]:
         assert len(kana_char) == 1, "push one kana at a time"
@@ -201,19 +346,25 @@ class IncrementalDecoder:
         pos = len(self.kana) + 1
         assert pos <= cfg.max_kana_len, "input exceeds max_kana_len"
         self.kana += kana_char
-        nodes = self._frame_nodes(pos)
-        N = cfg.max_nodes_per_frame
-        nw = np.full(N, EOS_ID, np.int32)
-        ns = np.zeros(N, np.int32)
-        nm = np.zeros(N, bool)
-        for k, n in enumerate(nodes):
-            nw[k], ns[k], nm[k] = n.word_id, n.start, True
 
-        caches = (self._score, self._lse, self._eos, self._c, self._h, self._htop)
-        caches, packed_out = self._step(
-            self.params, *caches, jnp.int32(pos),
-            jnp.asarray(nw), jnp.asarray(ns), jnp.asarray(nm),
-        )
+        hit = self._spec.pop(kana_char, None)
+        if hit is not None:
+            rows, packed_out, nodes = hit
+            self.spec_hits += 1
+            caches = self._commit(
+                self._score, self._lse, self._eos, self._c, self._h,
+                self._htop, jnp.int32(pos), rows,
+            )
+        else:
+            if self.speculate > 0:
+                self.spec_misses += 1
+            nodes = self._frame_nodes(pos)
+            nw, ns, nm = self._nodes_tensor(nodes)
+            caches, packed_out = self._step(
+                self.params, self._score, self._lse, self._eos, self._c,
+                self._h, self._htop, jnp.int32(pos),
+                jnp.asarray(nw), jnp.asarray(ns), jnp.asarray(nm),
+            )
         (self._score, self._lse, self._eos, self._c, self._h, self._htop) = caches
 
         if len(self._frames) <= pos:
@@ -224,12 +375,16 @@ class IncrementalDecoder:
         out = np.asarray(packed_out)  # single device fetch per keystroke
         self._bp[pos] = (out[0], out[1], out[2])
         self._finals[pos] = out[3].view(np.float32)
-        return self.results(n_best)
+        res = self.results(n_best)
+        self._speculate_next()  # overlaps with the user's next keypress
+        return res
 
     def pop(self) -> None:
         """Backspace: drop the last kana; cached prefix stays valid."""
         assert self.kana, "nothing to pop"
         self.kana = self.kana[:-1]
+        self._spec = {}  # speculation was for the longer prefix
+        self._speculate_next()
 
     # --- session checkpoint/resume (SURVEY.md §7: decode streams are
     # resumable — the full session state is (c, h) caches + beams) --------
@@ -284,6 +439,8 @@ class IncrementalDecoder:
                 bp = z[f"bp{pos}"]
                 self._bp[pos] = (bp[0], bp[1], bp[2])
                 self._finals[pos] = z[f"fin{pos}"]
+        self._spec = {}
+        self._speculate_next()
 
     def results(self, n_best: int = 1) -> List[DecodeResult]:
         T = len(self.kana)

@@ -126,3 +126,59 @@ def test_export_int8_cli(tiny_params, tiny_config, tmp_path):
     qp, cfg = load_checkpoint(str(tmp_path), tag="int8")
     assert qp["embedding"]["q"].dtype.name == "int8"
     assert cfg.vocab_size == tiny_config.vocab_size
+
+
+def test_speculative_matches_plain(tiny_params, tiny_config, lexicon, vocab,
+                                   batch):
+    """Speculative lookahead must be result-invisible: hits and misses both
+    produce exactly the plain per-keystroke stream (and hits do happen)."""
+    spec = IncrementalDecoder(
+        tiny_params, lexicon, vocab, tiny_config, speculate=4,
+    )
+    kana = "きょうはいい"
+    for i, ch in enumerate(kana, 1):
+        res = spec.push(ch, n_best=2)
+        ref = batch.decode(kana[:i], n_best=2)
+        assert [r.segments for r in res] == [r.segments for r in ref], kana[:i]
+        np.testing.assert_allclose(
+            [r.score for r in res], [r.score for r in ref], atol=1e-3
+        )
+    assert spec.spec_hits + spec.spec_misses == len(kana)
+    assert spec.spec_hits > 0, "static kana prior never hit in 6 keystrokes"
+
+
+def test_speculative_forced_hit_and_miss(tiny_params, tiny_config, lexicon,
+                                         vocab, batch):
+    """Pin both paths: a predictor that always includes the next char
+    (all hits) and one that never does (all misses)."""
+    hit_dec = IncrementalDecoder(
+        tiny_params, lexicon, vocab, tiny_config, speculate=2,
+        next_char_predictor=lambda prefix: ["きょうは"[len(prefix)], "ん"]
+        if len(prefix) < 4 else ["ん"],
+    )
+    for i, ch in enumerate("きょうは", 1):
+        res = hit_dec.push(ch)
+        assert res[0].segments == batch.decode("きょうは"[:i])[0].segments
+    assert hit_dec.spec_hits == 4 and hit_dec.spec_misses == 0
+
+    miss_dec = IncrementalDecoder(
+        tiny_params, lexicon, vocab, tiny_config, speculate=2,
+        next_char_predictor=lambda prefix: ["ん", "を"],
+    )
+    for i, ch in enumerate("きょう", 1):
+        res = miss_dec.push(ch)
+        assert res[0].segments == batch.decode("きょう"[:i])[0].segments
+    assert miss_dec.spec_hits == 0 and miss_dec.spec_misses == 3
+
+
+def test_speculative_pop_invalidates(tiny_params, tiny_config, lexicon, vocab,
+                                     batch):
+    spec = IncrementalDecoder(
+        tiny_params, lexicon, vocab, tiny_config, speculate=3,
+    )
+    for ch in "あめが":
+        spec.push(ch)
+    spec.pop()
+    spec.pop()
+    res = spec.push("き")  # "あき"
+    assert res[0].segments == batch.decode("あき")[0].segments
