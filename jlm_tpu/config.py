@@ -90,6 +90,7 @@ class Config:
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # "bfloat16" => mixed-precision forward
     grad_accum_steps: int = 1  # microbatches accumulated per optimizer update
+    remat: bool = False  # jax.checkpoint the LSTM cell (HBM-for-FLOPs trade)
 
     # --- parallelism (SURVEY.md §3.3) ---
     mesh_data: int = 1    # data-parallel axis size (independent lattices/batches)

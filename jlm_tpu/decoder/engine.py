@@ -251,13 +251,20 @@ def _decode_scan(
         # words_t/starts_t/... [S, N]; look_*_t [S, C]
 
         # Extension scores [S, N, B]: cached logp of each node's word from
-        # each path of the beam at the node's start position.
-        cand_rows = jnp.take_along_axis(
-            cand_cache, starts_t[:, :, None, None], axis=1
-        )  # [S, N, B, C]
+        # each path of the beam at the node's start position.  ONE fused
+        # flat gather of [S, N·B] elements — composing two take_along_axis
+        # calls would materialize an [S, N, B, C] (MBs) intermediate per
+        # step only to keep one C-column of it.
+        flat_idx = (
+            starts_t[:, :, None] * (B * C)
+            + jnp.arange(B, dtype=jnp.int32)[None, None, :] * C
+            + cidx_t[:, :, None]
+        )  # [S, N, B]
         ext_logp = jnp.take_along_axis(
-            cand_rows, cidx_t[:, :, None, None], axis=3
-        )[..., 0]  # [S, N, B]
+            cand_cache.reshape(S, (T_max + 1) * B * C),
+            flat_idx.reshape(S, N * B),
+            axis=1,
+        ).reshape(S, N, B)
         ext = jnp.take_along_axis(score, starts_t[:, :, None], axis=1) + ext_logp
         ext = jnp.where(mask_t[:, :, None], ext, NEG)
 

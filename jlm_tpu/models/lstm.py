@@ -207,6 +207,7 @@ def forward_hidden(
     ids: jnp.ndarray,  # [B, T] int32
     state: State,
     precision: str = "default",
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, State]:
     """Run the LSTM over a time window via ``lax.scan``.
 
@@ -214,12 +215,21 @@ def forward_hidden(
     state — the training path's recurrent core (the output head/loss is
     applied by the caller so sampled-softmax and D-softmax losses can share
     this scan).
+
+    ``remat=True`` wraps each cell step in ``jax.checkpoint``: backprop
+    recomputes gate activations instead of storing ``[B, T, 4H·L]`` of
+    them — the HBM-for-FLOPs trade that lets long BPTT windows / big
+    batches fit (the MXU re-pays a cheap [x;h]·W; activation memory drops
+    to the carried (c, h) per step).
     """
     xs = embed(params, ids)  # [B, T, E]
 
     def scan_fn(carry, x_t):
         h_top, carry = lstm_step(params, config, x_t, carry, precision)
         return carry, h_top
+
+    if remat:
+        scan_fn = jax.checkpoint(scan_fn)
 
     state, hs = jax.lax.scan(scan_fn, state, jnp.swapaxes(xs, 0, 1))
     return jnp.swapaxes(hs, 0, 1), state

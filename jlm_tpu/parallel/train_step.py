@@ -49,7 +49,8 @@ def _make_loss_fn(mesh: jax.sharding.Mesh, config: Config, precision: str):
         fparams = _cast_floats(params, jnp.bfloat16) if bf16 else params
         if bf16:
             state = jax.tree.map(lambda s: s.astype(jnp.bfloat16), state)
-        hs, new_state = forward_hidden(fparams, config, x, state, precision)
+        hs, new_state = forward_hidden(fparams, config, x, state, precision,
+                                       remat=config.remat)
         new_state = jax.tree.map(lambda s: s.astype(jnp.float32), new_state)
         return loss_head(fparams, hs, y), new_state
 

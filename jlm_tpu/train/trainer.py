@@ -124,9 +124,9 @@ class Trainer:
             # transpose returns fp32 grads to the optimizer.
             state = jax.tree.map(lambda s: s.astype(jnp.bfloat16), state)
             hs, state = forward_hidden(cast_floats(params, jnp.bfloat16),
-                                       cfg, x, state)
+                                       cfg, x, state, remat=cfg.remat)
             return hs, jax.tree.map(lambda s: s.astype(jnp.float32), state)
-        return forward_hidden(params, cfg, x, state)
+        return forward_hidden(params, cfg, x, state, remat=cfg.remat)
 
     def _loss(self, params, x, y, state, rng):
         cfg = self.config

@@ -117,7 +117,7 @@ def main():
 
     def gather_op(x):
         raw = _candidate_logits_batched(params["head"], cfg, x, ids, S, B)
-        return x.at[:, :1].add(raw[:, :1, :1].reshape(S, 1) * 1e-9)
+        return x.at[:, :1].add(jnp.sum(raw) * 1e-9)
 
     timeloop("cand column gather", gather_op, h0)
 

@@ -1,0 +1,99 @@
+"""Bisect the decode scan's device time: beam machinery vs LM forward.
+
+Amortizes the tunnel's ~25 ms RPC floor by dispatching K async calls and
+fetching once (dispatch is async; only the final fetch blocks).
+"""
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from jlm_tpu.config import Config
+from jlm_tpu.data import build_vocab, Lexicon, generate_corpus, generate_test_set
+from jlm_tpu.models.params import init_params
+from jlm_tpu.decoder.engine import (
+    _decode_scan,
+    make_pallas_forward,
+    pack_lattice_batch,
+)
+from jlm_tpu.decoder.lattice import build_lattice
+
+K = 10
+
+
+def amortized(fn, *args):
+    outs = [fn(*args) for _ in range(2)]
+    jax.block_until_ready(outs[-1])
+    t0 = time.time()
+    outs = [fn(*args) for _ in range(K)]
+    jax.block_until_ready(outs[-1])
+    return (time.time() - t0) / K
+
+
+def main():
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    cfg = Config(vocab_size=50_000, embed_size=256, hidden_size=512,
+                 beam_width=10, seed=0)
+    vocab = build_vocab(generate_corpus(2000, seed=1234), cfg.vocab_size)
+    lex = Lexicon.from_vocab(vocab)
+    params = jax.tree.map(jnp.asarray, init_params(cfg))
+    kanas = [k for k, _ in generate_test_set(128, seed=777)]
+    lats = [build_lattice(k, lex, vocab, cfg) for k in kanas]
+    packed, lengths = pack_lattice_batch(lats)
+    t_bucket = 16
+    packed = jnp.asarray(packed[:, :t_bucket])
+    lengths = jnp.asarray(lengths)
+    S, B = 128, cfg.beam_pad
+    C, H, L = cfg.max_lookahead, cfg.hidden_size, cfg.num_layers
+
+    fwd = make_pallas_forward(cfg, compute_dtype=jnp.bfloat16)
+
+    # 1. full scan
+    import functools
+    full = jax.jit(functools.partial(_decode_scan, config=cfg, forward_fn=fwd))
+    t_full = amortized(full, params, packed, lengths)
+    print(f"full decode scan (T={t_bucket}):      {t_full*1e3:7.1f} ms", flush=True)
+
+    # 2. machinery only: forward stubbed to zeros (same shapes)
+    def stub(params, words, state, cand_words):
+        Sl, Bl = words.shape
+        return (
+            jnp.zeros((Sl, Bl, cand_words.shape[1])),
+            jnp.zeros((Sl, Bl)),
+            state,
+        )
+
+    mach = jax.jit(functools.partial(_decode_scan, config=cfg, forward_fn=stub))
+    t_mach = amortized(mach, params, packed, lengths)
+    print(f"machinery only (stub forward):  {t_mach*1e3:7.1f} ms", flush=True)
+
+    # 3. forward chain only: T sequential forwards, no beam machinery
+    @jax.jit
+    def fwd_only(params):
+        state = (jnp.zeros((L, S * B, H)), jnp.zeros((L, S * B, H)))
+        words = jnp.zeros((S, B), jnp.int32)
+        cand = jnp.zeros((S, C), jnp.int32)
+
+        def step(carry, _):
+            words, state = carry
+            cl, el, state = fwd(params, words, state, cand)
+            words = jnp.argmax(cl, axis=2)[:, :B].astype(jnp.int32) % 50_000
+            return (words, state), el[:, 0]
+
+        (_, _), outs = jax.lax.scan(step, (words, state), None, length=t_bucket)
+        return outs
+
+    t_fwd = amortized(fwd_only, params)
+    print(f"forward chain only (T={t_bucket}):     {t_fwd*1e3:7.1f} ms", flush=True)
+    print(f"sum(mach+fwd) = {(t_mach+t_fwd)*1e3:.1f} ms vs full {t_full*1e3:.1f} ms",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

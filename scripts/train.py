@@ -44,6 +44,9 @@ def main(argv=None):
                     help="microbatches accumulated per optimizer update")
     ap.add_argument("--pallas-scan", action="store_true",
                     help="fused Pallas time-block LSTM scan in training")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize LSTM activations in backprop "
+                         "(fit longer BPTT windows / larger batches)")
     ap.add_argument("--resume", action="store_true",
                     help="continue from the latest checkpoint in --exp")
     args = ap.parse_args(argv)
@@ -77,6 +80,7 @@ def main(argv=None):
         compute_dtype="bfloat16" if args.bf16 else "float32",
         grad_accum_steps=args.grad_accum,
         use_pallas_scan=args.pallas_scan,
+        remat=args.remat,
     )
     mesh = None
     if cfg.mesh_data * cfg.mesh_vocab > 1:

@@ -167,3 +167,36 @@ def test_trainer_with_pallas_scan(encoded):
     import jax
     tr.run_epoch(train[:800], 0, jax.random.key(0))
     assert tr.evaluate_ppl(dev[:200]) < ppl0
+
+
+def test_remat_grads_exact(encoded):
+    """remat=True recomputes instead of storing — grads must be EXACT."""
+    import jax.numpy as jnp
+    from jlm_tpu.models.lstm import forward_hidden, initial_state
+    from jlm_tpu.models.heads import full_softmax_loss
+    from jlm_tpu.models.params import init_params
+
+    train, _, _ = encoded
+    cfg = small_cfg()
+    params = jax.tree.map(jnp.asarray, init_params(cfg))
+    x = jnp.asarray(np.asarray(train[:32]).reshape(4, 8), jnp.int32)
+    y = jnp.roll(x, -1, axis=1)
+    st = initial_state(cfg, 4)
+
+    def loss(p, remat):
+        hs, _ = forward_hidden(p, cfg, x, st, remat=remat)
+        return full_softmax_loss(p, cfg, hs, y)
+
+    g0 = jax.grad(lambda p: loss(p, False))(params)
+    g1 = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_trainer_remat_improves(encoded):
+    train, dev, _ = encoded
+    cfg = small_cfg(remat=True)
+    tr = Trainer(cfg)
+    ppl0 = tr.evaluate_ppl(dev[:400])
+    tr.run_epoch(train[:1500], 0, jax.random.key(0))
+    assert tr.evaluate_ppl(dev[:400]) < ppl0
