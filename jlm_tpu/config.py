@@ -75,6 +75,12 @@ class Config:
     max_kana_len: int = 62      # T_max: static frame count for the device scan
     max_nodes_per_frame: int = 16   # N_max: padded nodes ending at a position
     max_lookahead: int = 64     # C_max: padded candidate words starting at a position
+    # Policy when a frame has more nodes than max_nodes_per_frame.  The
+    # reference's lattices are uncapped Python lists (SURVEY.md §4.5), so a
+    # silent drop is a top-1 parity hazard against dense homophone frames:
+    # "warn" (default) emits a warning with the drop count, "raise" errors,
+    # "ignore" truncates silently (round-1 behavior).
+    node_overflow: str = "warn"  # "warn" | "raise" | "ignore"
 
     # --- training (SURVEY.md §4.8) ---
     batch_size: int = 32

@@ -13,13 +13,18 @@ over frames:
   per-position candidate ("lookahead") table is reconstructed on device by
   a single scatter;
 - beams, LSTM states, and per-position forward caches live in device
-  arrays indexed by (sentence, kana position);
+  arrays indexed by (sentence, ring slot): a node spanning (i, j] always
+  has ``j - i <= max_word_len``, so only the last ``max_word_len`` frame
+  rows are ever gathered — the caches are RING BUFFERS of ``R = 8`` rows
+  instead of ``T_max + 1``, cutting the scan's carry traffic ~8x (round 1
+  measured ~40% of device time going to full-cache carry copies);
 - each scan step: gather cached candidate log-probs → score all
   (node × path) extensions → per-sentence stable ``lax.top_k`` prune →
-  flat-index gather of surviving states → ONE batched LM forward over all
-  ``S·B`` beam rows (a single MXU-sized matmul);
-- backtracking runs on device; only ``[S, K, T_max, 2]`` int16 paths and
-  final scores return to the host.
+  ring-indexed gather of surviving states → ONE batched LM forward over
+  all ``S·B`` beam rows (a single MXU-sized matmul);
+- final ``<eos>``-rescored totals accumulate inside the scan at each
+  sentence's true length; backtracking runs on device; only
+  ``[S, K, T_max, 2]`` int16 paths and final scores return to the host.
 
 Batched-first matters on TPU: every gather is expressed as
 ``take_along_axis`` over a leading batch axis (XLA lowers these to fast
@@ -33,7 +38,14 @@ prefers lower flat indices), same max-subtracted log-softmax.
 
 The LM forward is pluggable (``forward_fn``, batched signature) so the
 full-softmax jnp head, the Pallas int8 kernel head, and the vocab-sharded
-``shard_map`` head all drive the same search skeleton.
+``shard_map`` head all drive the same search skeleton.  A forward may
+carry a ``prepare`` attribute — ``prepare(params, look_w) -> payload`` runs
+once per decode call (on device, before the scan) and its per-position
+payload is sliced into each frame step; the fast path uses it to pre-gather
+all candidate output-matrix COLUMNS for the whole lattice batch from a
+transposed head copy, so the per-frame candidate work is one small einsum
+instead of a strided O(C·H) gather from the ``[H, V]`` weight (round 1
+measured the in-scan gather at ~13% of device time).
 """
 
 from __future__ import annotations
@@ -53,8 +65,10 @@ from jlm_tpu.models.lstm import initial_state, step_logp
 from jlm_tpu.oracle.decoder import DecodeResult
 
 # Batched LM forward over all beam rows:
-#   forward_fn(params, words [S, B], state (c,h) [L, S*B, H], cand [S, C])
-#     -> (cand_logp [S, B, C], eos_logp [S, B], new_state [L, S*B, H])
+#   forward_fn(params, words [S, B], state (c,h) [L, S*B, H], payload)
+#     -> (cand_logp [S, B, C], eos_logp [S, B], new_state)
+# ``payload`` is the per-position slice of what ``forward_fn.prepare``
+# returned (default: the raw candidate word ids ``[S, C]``).
 ForwardFn = Callable[..., Tuple[jnp.ndarray, jnp.ndarray, Any]]
 
 # bit-packing layout for the lattice upload (see pack_lattice_batch)
@@ -62,6 +76,11 @@ _WORD_BITS = 17  # vocab ids < 131072
 _START_SHIFT = 17  # start position: 6 bits (T_max <= 63)
 _CIDX_SHIFT = 23  # lookahead column: 6 bits (C_max <= 64)
 _MASK_SHIFT = 29
+
+# Ring size for the per-position caches.  Nodes span at most max_word_len
+# kana, so gathers reach back at most max_word_len rows; 8 covers the
+# default max_word_len=5 and keeps the modulo a cheap bit-mask.
+_RING = 8
 
 
 def full_softmax_forward(
@@ -77,6 +96,60 @@ def full_softmax_forward(
     return cand_logp, lp[:, :, EOS_ID], state
 
 
+def build_decode_head(params, config: Config, compute_dtype=jnp.float32):
+    """One-time decode-side head prep: transposed columns + cast weights.
+
+    Returns a dict stashed under ``params["_decode"]``:
+
+    - ``head_T [V, H]``: every word's output column as a ROW (zero-padded
+      to H for D-softmax blocks, at the right offset for disjoint mode),
+      in ``compute_dtype``.  Candidate logits then come from a fast
+      major-axis row gather + einsum instead of a strided column gather
+      from the ``[H, V]`` (or per-block) weights.
+    - ``bias [V]`` fp32: matching output biases.
+    - ``head_c``: the projection head with fp weights pre-cast to
+      ``compute_dtype`` (int8 quant dicts pass through — the kernel
+      dequantizes in VMEM), so the lse kernel streams half the HBM bytes
+      in bf16 speed mode.
+    """
+    head = params["head"]
+    H = config.hidden_size
+
+    def deq(W):
+        if isinstance(W, dict):
+            return W["q"].astype(jnp.float32) * W["scale"][None, :]
+        return W.astype(jnp.float32)
+
+    def cast_w(W):
+        if isinstance(W, dict):
+            return W  # int8 stays int8: the kernel dequants in VMEM
+        return W.astype(compute_dtype)
+
+    if "blocks" in head:
+        ds = config.dsoftmax
+        rows_all, bias_all, blocks_c = [], [], []
+        offset = 0
+        for k, blk in enumerate(head["blocks"]):
+            d = ds.block_dims[k]
+            rows = deq(blk["W"]).T  # [s_k, d]
+            if ds.mode == "prefix":
+                rows = jnp.pad(rows, ((0, 0), (0, H - d)))
+            else:
+                rows = jnp.pad(rows, ((0, 0), (offset, H - offset - d)))
+                offset += d
+            rows_all.append(rows)
+            bias_all.append(blk["b"].astype(jnp.float32))
+            blocks_c.append({"W": cast_w(blk["W"]), "b": blk["b"]})
+        head_T = jnp.concatenate(rows_all, axis=0).astype(compute_dtype)
+        bias = jnp.concatenate(bias_all, axis=0)
+        head_c = {"blocks": blocks_c}
+    else:
+        head_T = deq(head["W"]).T.astype(compute_dtype)  # [V, H]
+        bias = head["b"].astype(jnp.float32)
+        head_c = {"W": cast_w(head["W"]), "b": head["b"]}
+    return {"head_T": head_T, "bias": bias, "head_c": head_c}
+
+
 def make_pallas_forward(
     config: Config,
     compute_dtype=None,
@@ -87,34 +160,60 @@ def make_pallas_forward(
 
     The kernel computes the global logsumexp over vocab tiles with
     in-kernel int8 dequant (never materializing ``[S·B, V]`` logits in
-    HBM); candidate logits come from a per-sentence output-column gather
-    (:func:`jlm_tpu.models.lstm.candidate_logits` pattern).  ``interpret``
-    defaults to True off-TPU so the path stays CPU-testable.
+    HBM); candidate logits come from pre-gathered transposed-head rows via
+    the ``prepare`` hook (one row gather per decode call, outside the
+    scan), so the per-frame candidate cost is a [S,B,H]x[S,C,H] einsum.
+    ``interpret`` defaults to True off-TPU so the path stays CPU-testable.
     """
-    from jlm_tpu.models.lstm import _w, embed, lstm_step
+    from jlm_tpu.models.lstm import embed, lstm_step
     from jlm_tpu.ops.project import project_lse
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if compute_dtype is None:
         compute_dtype = jnp.float32
+    # fp32 compute is the parity mode: keep every matmul at "highest".
+    precision = "highest" if compute_dtype == jnp.float32 else "default"
 
-    def forward(params, words, state, cand_words):
+    def prepare(params, look_w):
+        """[S, T1, C] ids -> (cols [S, T1, C+1, H], bias [S, T1, C+1]).
+
+        EOS is appended as the last column so the frame step prices the
+        final-rescore logit with the same einsum.
+        """
+        dec = params["_decode"]
+        S, T1, C = look_w.shape
+        ids = jnp.concatenate(
+            [look_w, jnp.full((S, T1, 1), EOS_ID, jnp.int32)], axis=2
+        )
+        cols = jnp.take(dec["head_T"], ids, axis=0)  # [S, T1, C+1, H]
+        bias = jnp.take(dec["bias"], ids)  # [S, T1, C+1]
+        return {"cols": cols, "bias": bias}
+
+    def forward(params, words, state, payload):
         S, B = words.shape
         x = embed(params, words.reshape(S * B))
-        h_top, state = lstm_step(params, config, x, state, precision="highest")
+        h_top, state = lstm_step(params, config, x, state, precision=precision)
         lse = project_lse(
-            h_top, params["head"], config,
+            h_top, params["_decode"]["head_c"], config,
             tile_v=tile_v, compute_dtype=compute_dtype, interpret=interpret,
         )  # [S*B, 1]
-        # candidate + eos raw logits: per-sentence column gather of the head
-        ids = jnp.concatenate(
-            [cand_words, jnp.full((S, 1), EOS_ID, jnp.int32)], axis=1
-        )  # [S, C+1]
-        raw = _candidate_logits_batched(params["head"], config, h_top, ids, S, B)
+        h3 = h_top.reshape(S, B, -1)
+        raw = (
+            jnp.einsum(
+                "sbh,sch->sbc",
+                h3.astype(compute_dtype),
+                payload["cols"],
+                precision=precision,
+                preferred_element_type=jnp.float32,
+            )
+            + payload["bias"][:, None, :]
+        )  # [S, B, C+1]
         logp = raw - lse.reshape(S, B, 1)
         return logp[:, :, :-1], logp[:, :, -1], state
 
+    forward.prepare = prepare
+    forward.compute_dtype = compute_dtype
     return forward
 
 
@@ -122,7 +221,10 @@ def _candidate_logits_batched(head, config: Config, h_flat, ids, S, B):
     """Raw logits for per-sentence candidate columns: [S, B, C+1].
 
     Gathers the needed output-matrix columns (O(C·H) per sentence instead
-    of O(V·H)) with int8 dequant on the gathered columns only.
+    of O(V·H)) with int8 dequant on the gathered columns only.  Kept as the
+    jnp reference for the prepare-hook fast path (strided column gathers
+    from ``[H, V]`` measured ~5 ms/call in-scan on v5e; the fast path
+    hoists them out of the scan via ``head_T`` row gathers).
     """
     C1 = ids.shape[1]
     if "blocks" in head:
@@ -218,23 +320,35 @@ def _decode_scan(
     B = config.beam_pad
     C = config.max_lookahead
     L, H = config.num_layers, config.hidden_size
+    R = _RING
+    assert config.max_word_len < R, (
+        f"max_word_len={config.max_word_len} must be < ring size {R}"
+    )
     NEG = jnp.float32(-1e30)
 
     word, start, cidx, mask, look_w, look_m = _unpack_lattice(packed, config)
 
+    # Per-position payload for the forward (default: the candidate ids).
+    prepare = getattr(forward_fn, "prepare", None)
+    payload = prepare(params, look_w) if prepare is not None else look_w
+    payload_0 = jax.tree.map(lambda a: a[:, 0], payload)
+    payload_xs = jax.tree.map(lambda a: jnp.moveaxis(a[:, 1:], 1, 0), payload)
+
     # --- position-0 root beam: path 0 alive, fed <eos> from zero state ---
     c0 = jnp.zeros((L, S * B, H), jnp.float32)
     h0 = jnp.zeros((L, S * B, H), jnp.float32)
-    cand0, eos0, (c1, h1) = forward_fn(
-        params, jnp.full((S, B), EOS_ID, jnp.int32), (c0, h0), look_w[:, 0]
+    cand0, _eos0, (c1, h1) = forward_fn(
+        params, jnp.full((S, B), EOS_ID, jnp.int32), (c0, h0), payload_0
     )
     cand0 = jnp.where(look_m[:, 0][:, None, :], cand0, NEG)
 
-    # caches indexed [S, pos, ...]; states stored as [S, pos, B, L, H] so a
-    # single flat (pos*B + path) take_along_axis gathers survivors.
-    score = jnp.full((S, T_max + 1, B), NEG).at[:, 0, 0].set(0.0)
-    cand_cache = jnp.zeros((S, T_max + 1, B, C)).at[:, 0].set(cand0)
-    eos_cache = jnp.zeros((S, T_max + 1, B)).at[:, 0].set(eos0)
+    # Ring caches indexed [S, pos % R, ...]; states stored as
+    # [S, R, B, L, H] so a single flat (ring_row*B + path) take_along_axis
+    # gathers survivors.  Only the last max_word_len rows are ever read, so
+    # stale rows beyond the span can never leak (masked extensions aside,
+    # starts always satisfy pos - start <= max_word_len < R).
+    score = jnp.full((S, R, B), NEG).at[:, 0, 0].set(0.0)
+    cand_cache = jnp.zeros((S, R, B, C)).at[:, 0].set(cand0)
 
     def state_to_cache(c):  # [L, S*B, H] -> [S, B, L, H]
         return jnp.moveaxis(c.reshape(L, S, B, H), 0, 2)
@@ -242,13 +356,15 @@ def _decode_scan(
     def cache_to_state(g):  # [S, B, L, H] -> [L, S*B, H]
         return jnp.moveaxis(g, 2, 0).reshape(L, S * B, H)
 
-    c_cache = jnp.zeros((S, T_max + 1, B, L, H)).at[:, 0].set(state_to_cache(c1))
-    h_cache = jnp.zeros((S, T_max + 1, B, L, H)).at[:, 0].set(state_to_cache(h1))
+    c_cache = jnp.zeros((S, R, B, L, H)).at[:, 0].set(state_to_cache(c1))
+    h_cache = jnp.zeros((S, R, B, L, H)).at[:, 0].set(state_to_cache(h1))
+    final = jnp.full((S, B), NEG)
 
     def step(carry, xs):
-        score, cand_cache, eos_cache, c_cache, h_cache = carry
-        pos, words_t, starts_t, mask_t, cidx_t, look_w_t, look_m_t = xs
-        # words_t/starts_t/... [S, N]; look_*_t [S, C]
+        score, cand_cache, c_cache, h_cache, final = carry
+        pos, words_t, starts_t, mask_t, cidx_t, look_m_t, payload_t = xs
+        # words_t/starts_t/... [S, N]; look_m_t [S, C]
+        ring_t = starts_t & (R - 1)  # ring row of each node's start
 
         # Extension scores [S, N, B]: cached logp of each node's word from
         # each path of the beam at the node's start position.  ONE fused
@@ -256,16 +372,16 @@ def _decode_scan(
         # calls would materialize an [S, N, B, C] (MBs) intermediate per
         # step only to keep one C-column of it.
         flat_idx = (
-            starts_t[:, :, None] * (B * C)
+            ring_t[:, :, None] * (B * C)
             + jnp.arange(B, dtype=jnp.int32)[None, None, :] * C
             + cidx_t[:, :, None]
         )  # [S, N, B]
         ext_logp = jnp.take_along_axis(
-            cand_cache.reshape(S, (T_max + 1) * B * C),
+            cand_cache.reshape(S, R * B * C),
             flat_idx.reshape(S, N * B),
             axis=1,
         ).reshape(S, N, B)
-        ext = jnp.take_along_axis(score, starts_t[:, :, None], axis=1) + ext_logp
+        ext = jnp.take_along_axis(score, ring_t[:, :, None], axis=1) + ext_logp
         ext = jnp.where(mask_t[:, :, None], ext, NEG)
 
         # Per-sentence stable top-k over the flat (node-major, path-minor)
@@ -278,31 +394,37 @@ def _decode_scan(
         src_pos = jnp.take_along_axis(starts_t, sel_n, axis=1)  # [S, B]
         new_words = jnp.take_along_axis(words_t, sel_n, axis=1)  # [S, B]
 
-        # Gather surviving LSTM states with ONE flat (pos*B + path) index.
-        flat = (src_pos * B + sel_p)[:, :, None, None]  # [S, B, 1, 1]
+        # Gather surviving LSTM states with ONE flat (ring*B + path) index.
+        flat = ((src_pos & (R - 1)) * B + sel_p)[:, :, None, None]  # [S, B, 1, 1]
         csel = jnp.take_along_axis(
-            c_cache.reshape(S, (T_max + 1) * B, L, H), flat, axis=1
+            c_cache.reshape(S, R * B, L, H), flat, axis=1
         )
         hsel = jnp.take_along_axis(
-            h_cache.reshape(S, (T_max + 1) * B, L, H), flat, axis=1
+            h_cache.reshape(S, R * B, L, H), flat, axis=1
         )
 
         # One batched LM forward over all S·B beam rows.
         cand_new, eos_new, (c_new, h_new) = forward_fn(
             params, new_words, (cache_to_state(csel), cache_to_state(hsel)),
-            look_w_t,
+            payload_t,
         )
         cand_new = jnp.where(look_m_t[:, None, :], cand_new, NEG)
         alive = top_scores > NEG / 2
         cand_new = jnp.where(alive[:, :, None], cand_new, NEG)
 
-        score = score.at[:, pos].set(top_scores)
-        cand_cache = cand_cache.at[:, pos].set(cand_new)
-        eos_cache = eos_cache.at[:, pos].set(eos_new)
-        c_cache = c_cache.at[:, pos].set(state_to_cache(c_new))
-        h_cache = h_cache.at[:, pos].set(state_to_cache(h_new))
+        # Final <eos> rescoring accumulates in-scan at each sentence's true
+        # length (SURVEY.md §4.6) — the ring may overwrite older rows later.
+        final = jnp.where(
+            (pos == lengths)[:, None], top_scores + eos_new, final
+        )
+
+        ring_w = pos & (R - 1)
+        score = score.at[:, ring_w].set(top_scores)
+        cand_cache = cand_cache.at[:, ring_w].set(cand_new)
+        c_cache = c_cache.at[:, ring_w].set(state_to_cache(c_new))
+        h_cache = h_cache.at[:, ring_w].set(state_to_cache(h_new))
         return (
-            (score, cand_cache, eos_cache, c_cache, h_cache),
+            (score, cand_cache, c_cache, h_cache, final),
             (src_pos, sel_p, sel_n),
         )
 
@@ -312,19 +434,12 @@ def _decode_scan(
         jnp.moveaxis(start, 1, 0),
         jnp.moveaxis(mask, 1, 0),
         jnp.moveaxis(cidx, 1, 0),
-        jnp.moveaxis(look_w[:, 1:], 1, 0),  # [T_max, S, C]
-        jnp.moveaxis(look_m[:, 1:], 1, 0),
+        jnp.moveaxis(look_m[:, 1:], 1, 0),  # [T_max, S, C]
+        payload_xs,
     )
-    carry = (score, cand_cache, eos_cache, c_cache, h_cache)
-    (score, cand_cache, eos_cache, _, _), bp = jax.lax.scan(step, carry, xs)
+    carry = (score, cand_cache, c_cache, h_cache, final)
+    (_, _, _, _, final), bp = jax.lax.scan(step, carry, xs)
     bp_src, bp_p, bp_n = bp  # each [T_max, S, B]
-
-    # Final <eos> rescoring at each sentence's true length (SURVEY.md §4.6).
-    lcol = lengths[:, None]
-    final = (
-        jnp.take_along_axis(score, lcol[:, :, None], axis=1)[:, 0]
-        + jnp.take_along_axis(eos_cache, lcol[:, :, None], axis=1)[:, 0]
-    )  # [S, B]
 
     # Device-side backtracking for the top-K beams; only compact paths are
     # fetched (host link: ~200 ms latency per transfer, keep payload tiny).
@@ -370,7 +485,9 @@ class BeamDecoder:
 
     Mirrors the reference's ``Decoder`` API (``decode(kana, top_n)``) while
     keeping every per-frame operation on device; ``decode_batch`` is the
-    streaming batched entry (BASELINE config 5's per-chip unit).
+    streaming batched entry (BASELINE config 5's per-chip unit) and
+    ``decode_stream`` pipelines many chunks through the device without
+    waiting for each chunk's results (hides the host-link round trip).
     """
 
     def __init__(
@@ -386,7 +503,7 @@ class BeamDecoder:
         # Materialize params on device ONCE — passing host numpy arrays into
         # the jitted call would re-upload the full weight set (~150 MB at
         # flagship dims) on every decode_batch.
-        self.params = jax.tree.map(jnp.asarray, params)
+        self.params = dict(jax.tree.map(jnp.asarray, params))
         self.lexicon = lexicon
         self.vocab = vocab
         self.config = config
@@ -404,8 +521,8 @@ class BeamDecoder:
         if forward_fn is None:
             if precision == "default" and jax.default_backend() == "tpu":
                 # Speed mode on TPU: Pallas head (in-kernel int8 dequant +
-                # online logsumexp, bf16 MXU) — measured ~1.7-1.9x the jnp
-                # head at flagship dims with identical top-1 paths.
+                # online logsumexp, bf16 MXU) + pre-gathered candidate
+                # columns; measured ~5x the jnp fp32 head at flagship dims.
                 fwd = make_pallas_forward(config, compute_dtype=jnp.bfloat16)
             else:
                 # Parity mode (or CPU): fp32 jnp head, oracle-exact.
@@ -414,6 +531,11 @@ class BeamDecoder:
                 )
         else:
             fwd = forward_fn
+        # Forwards with a prepare hook need the one-time transposed-head
+        # prep (decode-side only; never touches training checkpoints).
+        if getattr(fwd, "prepare", None) is not None and "_decode" not in self.params:
+            cd = getattr(fwd, "compute_dtype", jnp.float32)
+            self.params["_decode"] = build_decode_head(self.params, config, cd)
         self._decode_jit = jax.jit(
             functools.partial(_decode_scan, config=config, forward_fn=fwd)
         )
@@ -471,9 +593,8 @@ class BeamDecoder:
             b *= 2
         return b
 
-    def decode_batch(
-        self, kanas: List[str], n_best: int = 1
-    ) -> List[List[DecodeResult]]:
+    def _pack(self, kanas: List[str]):
+        """Bucket-pad, build lattices (native if available), time-bucket."""
         n_real = len(kanas)
         pad = self._bucket(n_real) - n_real
         kanas_padded = list(kanas) + [kanas[-1]] * pad
@@ -489,18 +610,58 @@ class BeamDecoder:
         # (power-of-two buckets, capped at max_kana_len) — typical IME
         # inputs are ~10 kana, a 62-step scan would waste ~5x device time.
         t_bucket = min(self._bucket(int(lengths.max())), self.config.max_kana_len)
-        packed = packed[:, :t_bucket]
+        return packed[:, :t_bucket], lengths
+
+    def decode_batch_async(self, kanas: List[str]):
+        """Dispatch one chunk; returns (packed, device outputs) unfetched.
+
+        The device call is asynchronous — chaining several dispatches keeps
+        the chip busy while earlier chunks' results cross the host link.
+        """
+        packed, lengths = self._pack(kanas)
         out = self._decode_jit(
             self.params, jnp.asarray(packed), jnp.asarray(lengths)
         )
+        return packed, out
+
+    def materialize(
+        self, kanas: List[str], packed: np.ndarray, out, n_best: int = 1
+    ) -> List[List[DecodeResult]]:
+        """Fetch one dispatched chunk's results and build surfaces."""
         finals = np.asarray(out["final_topk"])
         paths = np.asarray(out["paths"])
         return [
             self.results_from_packed(
                 kanas[i], packed[i], finals[i], paths[i], n_best
             )
-            for i in range(n_real)
+            for i in range(len(kanas))
         ]
+
+    def decode_batch(
+        self, kanas: List[str], n_best: int = 1
+    ) -> List[List[DecodeResult]]:
+        packed, out = self.decode_batch_async(kanas)
+        return self.materialize(kanas, packed, out, n_best)
+
+    def decode_stream(
+        self, kanas: List[str], chunk_size: int = 128, n_best: int = 1
+    ) -> List[List[DecodeResult]]:
+        """Pipelined streaming conversion of a long sentence stream.
+
+        All chunks are packed and DISPATCHED before any result is fetched:
+        chunk k's device scan overlaps chunk k-1's result fetch and chunk
+        k+1's host-side lattice build, so steady-state throughput is set by
+        device time per chunk, not by the host-link round trip (~30 ms on
+        tunneled backends — comparable to the whole device scan).
+        """
+        chunks = [
+            kanas[i:i + chunk_size] for i in range(0, len(kanas), chunk_size)
+        ]
+        inflight = [(c, *self.decode_batch_async(c)) for c in chunks]
+        results: List[List[DecodeResult]] = []
+        for c, packed, out in inflight:
+            results.extend(self.materialize(c, packed, out, n_best))
+        return results
 
     def decode(self, kana: str, n_best: int = 1) -> List[DecodeResult]:
         return self.decode_batch([kana], n_best)[0]

@@ -34,11 +34,11 @@ from jlm_tpu.data.corpus import Vocab
 from jlm_tpu.data.lexicon import Lexicon
 from jlm_tpu.decoder.lattice import Node
 from jlm_tpu.models.lstm import (
-    candidate_logits,
     embed,
     head_logits,
     initial_state,
     lstm_step,
+    node_logits,
 )
 from jlm_tpu.oracle.decoder import DecodeResult
 
@@ -89,13 +89,11 @@ def _frame_rows(
     NEG = jnp.float32(-1e30)
 
     # Lazy extension scores: logit of each node's word from each path of the
-    # beam at the node's start, minus that path's cached logsumexp.
+    # beam at the node's start, minus that path's cached logsumexp.  The
+    # paired node_logits form scores node n only against its own column —
+    # O(N·B·H) instead of the old all-words-by-all-rows diagonal (O(N²·B·H)).
     h_src = htop_cache[node_start]  # [N, B, H]
-    logits = candidate_logits(
-        params, config, h_src, node_word, precision
-    )  # [N, B, N] -> need diagonal over candidate axis
-    # candidate_logits broadcasts all words over all rows; take matching col.
-    logits = jnp.diagonal(logits, axis1=0, axis2=2).T  # [N, B]
+    logits = node_logits(params, config, h_src, node_word, precision)  # [N, B]
     ext = score_cache[node_start] + logits - lse_cache[node_start]
     ext = jnp.where(node_mask[:, None], ext, NEG)
 
@@ -298,6 +296,11 @@ class IncrementalDecoder:
                 display = disp if disp is not None else self.vocab.display(wid)
                 nodes.append(Node(wid, start, pos, display))
         nodes.sort(key=lambda n: n.start)
+        from jlm_tpu.decoder.lattice import handle_node_overflow
+
+        handle_node_overflow(
+            len(nodes) - cfg.max_nodes_per_frame, cfg, f"pos={pos}"
+        )
         return nodes[: cfg.max_nodes_per_frame]
 
     def _nodes_tensor(self, nodes: List[Node]):

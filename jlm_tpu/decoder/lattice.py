@@ -26,6 +26,7 @@ columns per step instead of materializing ``[B, V]`` scores.
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -33,6 +34,25 @@ import numpy as np
 from jlm_tpu.config import Config, EOS_ID, UNK_ID
 from jlm_tpu.data.corpus import Vocab
 from jlm_tpu.data.lexicon import Lexicon
+
+
+def handle_node_overflow(dropped: int, config: Config, where: str) -> None:
+    """Apply the configured policy when a frame exceeds the node budget.
+
+    The reference's lattices are uncapped (SURVEY.md §4.5); dropping nodes
+    can lose the gold path, so drops must never be silent by default.
+    """
+    if dropped <= 0 or config.node_overflow == "ignore":
+        return
+    msg = (
+        f"lattice node overflow ({where}): {dropped} node(s) dropped beyond "
+        f"max_nodes_per_frame={config.max_nodes_per_frame}; raise "
+        f"max_nodes_per_frame to preserve reference parity "
+        f"(reference lattices are uncapped)"
+    )
+    if config.node_overflow == "raise":
+        raise ValueError(msg)
+    warnings.warn(msg, stacklevel=3)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,6 +84,7 @@ class Lattice:
     lookahead_words: np.ndarray  # int32 [T_max + 1, C_max] word ids starting at s
     lookahead_mask: np.ndarray   # bool  [T_max + 1, C_max]
     length: int  # T = len(kana)
+    dropped_nodes: int = 0  # nodes truncated beyond the per-frame budget
 
 
 def build_lattice(
@@ -92,10 +113,13 @@ def build_lattice(
 
     # Frame-major sort + truncation in canonical order (start asc, then
     # append order which is frequency order within a start).
+    dropped = 0
     for j in range(1, T + 1):
         frames[j].sort(key=lambda n: n.start)  # stable: keeps dict order per start
         if len(frames[j]) > N_max:
+            dropped += len(frames[j]) - N_max
             frames[j] = frames[j][:N_max]
+    handle_node_overflow(dropped, config, f"kana={kana!r}")
 
     # Lookahead sets: words of surviving nodes grouped by start position.
     lookahead: List[List[int]] = [[] for _ in range(T_max + 1)]
@@ -137,4 +161,5 @@ def build_lattice(
         lookahead_words=lookahead_words,
         lookahead_mask=lookahead_mask,
         length=T,
+        dropped_nodes=dropped,
     )

@@ -33,53 +33,8 @@ from jlm_tpu.data.corpus import Vocab
 from jlm_tpu.data.lexicon import Lexicon
 from jlm_tpu.decoder.lattice import Node
 from jlm_tpu.decoder.incremental import _forward_with_lse
+from jlm_tpu.models.lstm import node_logits as _node_logits
 from jlm_tpu.oracle.decoder import DecodeResult
-
-
-def _node_logits(params, config: Config, h_src, words, precision):
-    """Raw logits of each node's own word from each beam path: [E, N, B].
-
-    ``h_src [E, N, B, H]`` pairs every node with the hidden states of the
-    beam at its start; only that node's output column is needed, so the
-    work is one column gather + einsum (both heads, int8-aware).
-    """
-    E, N = words.shape
-    head = params["head"]
-
-    def cols_of(W, ids):  # -> fp32 [d, E, N]
-        if isinstance(W, dict):
-            c = jnp.take(W["q"], ids.reshape(-1), axis=1).astype(jnp.float32)
-            c = c * jnp.take(W["scale"], ids.reshape(-1))[None, :]
-        else:
-            c = jnp.take(W, ids.reshape(-1), axis=1)
-        return c.reshape(c.shape[0], E, N)
-
-    if "blocks" in head:
-        ds = config.dsoftmax
-        sizes = np.asarray(ds.block_sizes, np.int64)
-        bases = np.concatenate([[0], np.cumsum(sizes)[:-1]])
-        out = jnp.zeros((E, N, h_src.shape[2]), jnp.float32)
-        offset = 0
-        for k, blk in enumerate(head["blocks"]):
-            d = ds.block_dims[k]
-            hs = (
-                h_src[..., :d] if ds.mode == "prefix"
-                else h_src[..., offset:offset + d]
-            )
-            if ds.mode == "disjoint":
-                offset += d
-            in_blk = (words >= bases[k]) & (words < bases[k] + sizes[k])
-            local = jnp.clip(words - bases[k], 0, sizes[k] - 1)
-            cols = cols_of(blk["W"], local)
-            vals = jnp.einsum(
-                "enbd,den->enb", hs, cols, precision=precision
-            ) + jnp.take(blk["b"], local)[:, :, None]
-            out = jnp.where(in_blk[:, :, None], vals, out)
-        return out
-    cols = cols_of(head["W"], words)
-    return jnp.einsum(
-        "enbh,hen->enb", h_src, cols, precision=precision
-    ) + jnp.take(head["b"], words)[:, :, None]
 
 
 def _batch_keystroke_step(
@@ -256,6 +211,11 @@ class SessionServer:
                 display = disp if disp is not None else self.vocab.display(wid)
                 nodes.append(Node(wid, start, pos, display))
         nodes.sort(key=lambda n: n.start)
+        from jlm_tpu.decoder.lattice import handle_node_overflow
+
+        handle_node_overflow(
+            len(nodes) - cfg.max_nodes_per_frame, cfg, f"sid={sid} pos={pos}"
+        )
         return nodes[: cfg.max_nodes_per_frame]
 
     @staticmethod

@@ -151,6 +151,66 @@ def candidate_logits(
     )
 
 
+def node_logits(
+    params: Dict[str, Any],
+    config: Config,
+    h_src: jnp.ndarray,  # [..., N, B, H] hidden states paired per node
+    words: jnp.ndarray,  # [..., N] each node's own word id
+    precision: str = "highest",
+) -> jnp.ndarray:
+    """Raw logit of each node's OWN word from each beam path: ``[..., N, B]``.
+
+    The paired form of :func:`candidate_logits`: node ``n`` is scored only
+    against its own output column, so the work is one column gather + einsum
+    — O(N·B·H) instead of the O(N²·B·H) "all words × all rows then keep the
+    diagonal" shape.  Shared by the incremental decoder and the multi-session
+    server (SURVEY.md §4.7 lazy scoring; both heads, int8-aware).
+    """
+    lead = words.shape[:-1]
+    N = words.shape[-1]
+    B, H = h_src.shape[-2], h_src.shape[-1]
+    E = int(np.prod(lead)) if lead else 1
+    h_src = h_src.reshape(E, N, B, H)
+    words = words.reshape(E, N)
+    head = params["head"]
+
+    def cols_of(W, ids):  # -> fp32 [d, E, N]
+        if isinstance(W, dict):
+            c = jnp.take(W["q"], ids.reshape(-1), axis=1).astype(jnp.float32)
+            c = c * jnp.take(W["scale"], ids.reshape(-1))[None, :]
+        else:
+            c = jnp.take(W, ids.reshape(-1), axis=1)
+        return c.reshape(c.shape[0], E, N)
+
+    if "blocks" in head:
+        ds = config.dsoftmax
+        sizes = np.asarray(ds.block_sizes, np.int64)
+        bases = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        out = jnp.zeros((E, N, B), jnp.float32)
+        offset = 0
+        for k, blk in enumerate(head["blocks"]):
+            d = ds.block_dims[k]
+            hs = (
+                h_src[..., :d] if ds.mode == "prefix"
+                else h_src[..., offset:offset + d]
+            )
+            if ds.mode == "disjoint":
+                offset += d
+            in_blk = (words >= bases[k]) & (words < bases[k] + sizes[k])
+            local = jnp.clip(words - bases[k], 0, sizes[k] - 1)
+            cols = cols_of(blk["W"], local)
+            vals = jnp.einsum(
+                "enbd,den->enb", hs, cols, precision=precision
+            ) + jnp.take(blk["b"], local)[:, :, None]
+            out = jnp.where(in_blk[:, :, None], vals, out)
+        return out.reshape(*lead, N, B)
+    cols = cols_of(head["W"], words)
+    out = jnp.einsum(
+        "enbh,hen->enb", h_src, cols, precision=precision
+    ) + jnp.take(head["b"], words.reshape(-1)).reshape(E, N)[:, :, None]
+    return out.reshape(*lead, N, B)
+
+
 def log_softmax(logits: jnp.ndarray) -> jnp.ndarray:
     """Max-subtracted fp32 log-softmax — the frozen parity numeric rule."""
     logits = logits.astype(jnp.float32)

@@ -106,23 +106,30 @@ class NativeLatticeBuilder:
             self._handle = None
 
     def pack_batch(self, kanas: List[str]) -> Tuple[np.ndarray, np.ndarray]:
+        from jlm_tpu.decoder.lattice import handle_node_overflow
+
         cfg = self.config
         S = len(kanas)
         packed = np.zeros((S, cfg.max_kana_len, cfg.max_nodes_per_frame),
                           np.int32)
         lengths = np.zeros((S,), np.int32)
+        dropped = 0
         for i, kana in enumerate(kanas):
             u = _u32(kana)
             T = len(u)
             assert 0 < T <= cfg.max_kana_len, (
                 f"kana length {T} exceeds max_kana_len {cfg.max_kana_len}"
             )
+            # rc >= 0: count of nodes dropped beyond the per-frame budget;
+            # rc == -1: lookahead overflow (always fatal).
             rc = self._lib.jlm_build_packed(
                 self._handle, u.ctypes.data, np.int32(T),
                 np.int32(cfg.max_kana_len), np.int32(cfg.max_nodes_per_frame),
                 np.int32(cfg.max_lookahead), np.int32(cfg.max_word_len),
                 np.int32(UNK_ID), packed[i].ctypes.data,
             )
-            assert rc == 0, f"lookahead overflow for {kana!r}: raise max_lookahead"
+            assert rc >= 0, f"lookahead overflow for {kana!r}: raise max_lookahead"
+            dropped += rc
             lengths[i] = T
+        handle_node_overflow(dropped, cfg, f"native batch of {S}")
         return packed, lengths

@@ -58,7 +58,10 @@ void jlm_lexicon_destroy(void* p) { delete static_cast<Lexicon*>(p); }
 
 // Build ONE sentence's packed node tensor [T_max * N_max] (row-major) plus
 // its lookahead-consistent cand indices.  kana: UTF-32 codepoints, length T.
-// Returns 0 on success, -1 if a lookahead row overflows C_max.
+// Returns the number of nodes DROPPED beyond the per-frame budget N_max
+// (>= 0; 0 = lossless), or -1 if a lookahead row overflows C_max.  Drops
+// must be surfaced, never swallowed: the reference's lattices are uncapped
+// and a silent drop is a top-1 parity hazard (SURVEY.md §4.5).
 int32_t jlm_build_packed(const void* lex_p, const uint32_t* kana, int32_t T,
                          int32_t T_max, int32_t N_max, int32_t C_max,
                          int32_t max_word_len, int32_t unk_id,
@@ -93,9 +96,11 @@ int32_t jlm_build_packed(const void* lex_p, const uint32_t* kana, int32_t T,
   // lookahead dedup per start position, first-appearance order over
   // j = 1..T and canonical node order within a frame (matches python).
   std::vector<std::unordered_map<int32_t, int32_t>> look(T + 1);
+  int32_t dropped = 0;
   for (int j = 1; j <= T; ++j) {
     auto& fr = frames[j];
     int n = std::min<int>((int)fr.size(), N_max);
+    dropped += (int32_t)fr.size() - n;
     for (int k = 0; k < n; ++k) {
       int32_t wid = fr[k].first, start = fr[k].second;
       auto& tbl = look[start];
@@ -113,7 +118,7 @@ int32_t jlm_build_packed(const void* lex_p, const uint32_t* kana, int32_t T,
           (1 << kMaskShift);
     }
   }
-  return 0;
+  return dropped;
 }
 
 }  // extern "C"

@@ -51,6 +51,7 @@ def _proj_kernel(
     *,
     tile_v: int,
     compute_dtype,
+    quantized: bool,
 ):
     # grid = (row_blocks, vocab_tiles); vocab is the minor (fast) dim so the
     # output refs act as accumulators across the v sweep of each row block.
@@ -63,11 +64,19 @@ def _proj_kernel(
         s_out_ref[:] = jnp.zeros_like(s_out_ref)
         cand_out_ref[:] = jnp.zeros_like(cand_out_ref)
 
-    w = w_ref[:].astype(jnp.float32) * scale_ref[0, :][None, :]
+    if quantized:
+        # int8 tile -> fp32 dequant (per-column scale) -> compute dtype
+        w = (w_ref[:].astype(jnp.float32) * scale_ref[0, :][None, :]).astype(
+            compute_dtype
+        )
+    else:
+        # fp weights arrive pre-cast (bf16 in speed mode): no per-tile VPU
+        # dequant/convert work — the astype is a no-op when dtypes match.
+        w = w_ref[:].astype(compute_dtype)
     logits = (
         jnp.dot(
             h_ref[:].astype(compute_dtype),
-            w.astype(compute_dtype),
+            w,
             preferred_element_type=jnp.float32,
         )
         + b_ref[0, :][None, :]
@@ -99,18 +108,22 @@ def _project_block(
     tile_v: int,
     compute_dtype,
     interpret: bool,
-    tile_r: int = 256,
+    tile_r: int = 1024,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One frequency block → raw (cand [B,C], m [B,1], s [B,1]).
 
     Grid is (row blocks, vocab tiles) with vocab minor, so large beam-row
     batches stream through bounded VMEM (row tile + one weight tile).
+    ``tile_r`` trades VMEM for weight-DMA reuse: every row block re-streams
+    the whole weight matrix from HBM, so at decode batch sizes (B ~ 2048
+    beam rows) small row tiles multiply the dominant HBM cost — round 1's
+    tile_r=256 re-read the 50k head 8x per frame and was bandwidth-bound.
     """
     B, D = h.shape
     S = weight.shape[1]
     C = cand_local.shape[0]
     tv = min(tile_v, _round_up(S, 128))
-    tr = min(tile_r, B)
+    tr = min(tile_r, _round_up(B, 8))
     S_pad = _round_up(S, tv)
     B_pad = _round_up(B, tr)
     if B_pad != B:
@@ -120,11 +133,13 @@ def _project_block(
         bias = jnp.pad(bias, (0, S_pad - S), constant_values=-1e30)
         if scale is not None:
             scale = jnp.pad(scale, (0, S_pad - S))
+    quantized = scale is not None
     if scale is None:
         scale = jnp.ones((S_pad,), jnp.float32)
 
     cand, m, s = pl.pallas_call(
-        functools.partial(_proj_kernel, tile_v=tv, compute_dtype=compute_dtype),
+        functools.partial(_proj_kernel, tile_v=tv, compute_dtype=compute_dtype,
+                          quantized=quantized),
         grid=(B_pad // tr, S_pad // tv),
         in_specs=[
             pl.BlockSpec((1, C), lambda r, v: (0, 0), memory_space=pltpu.VMEM),
