@@ -101,6 +101,8 @@ class Config:
     # --- parallelism (SURVEY.md §3.3) ---
     mesh_data: int = 1    # data-parallel axis size (independent lattices/batches)
     mesh_vocab: int = 1   # vocab (tensor) parallel axis size
+    mesh_seq: int = 1     # sequence/time-block pipeline axis size
+    seq_microbatches: int = 0  # pipeline streams (0 = auto: ~2x mesh_seq)
 
     # --- misc ---
     seed: int = 0

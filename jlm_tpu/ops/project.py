@@ -108,7 +108,7 @@ def _project_block(
     tile_v: int,
     compute_dtype,
     interpret: bool,
-    tile_r: int = 1024,
+    tile_r: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One frequency block → raw (cand [B,C], m [B,1], s [B,1]).
 
@@ -118,11 +118,24 @@ def _project_block(
     the whole weight matrix from HBM, so at decode batch sizes (B ~ 2048
     beam rows) small row tiles multiply the dominant HBM cost — round 1's
     tile_r=256 re-read the 50k head 8x per frame and was bandwidth-bound.
+    Default: the largest power-of-two row tile whose working set (row
+    block + double-buffered weight tile + accumulators) fits the ~16 MB
+    VMEM budget.
     """
     B, D = h.shape
     S = weight.shape[1]
     C = cand_local.shape[0]
     tv = min(tile_v, _round_up(S, 128))
+    if tile_r is None:
+        budget = 12 * 1024 * 1024  # leave headroom below the 16 MB limit
+        w_bytes = 2 * D * tv * weight.dtype.itemsize  # double-buffered tile
+        tile_r = 8
+        while tile_r < 2048:
+            trial = tile_r * 2
+            need = w_bytes + trial * D * 4 + trial * (3 * 128 + C) * 4
+            if need > budget:
+                break
+            tile_r = trial
     tr = min(tile_r, _round_up(B, 8))
     S_pad = _round_up(S, tv)
     B_pad = _round_up(B, tr)

@@ -18,6 +18,7 @@ from jlm_tpu.config import Config
 
 DATA_AXIS = "data"
 VOCAB_AXIS = "vocab"
+SEQ_AXIS = "seq"
 
 
 def make_mesh(config: Config, devices: Optional[Sequence] = None) -> jax.sharding.Mesh:
@@ -35,6 +36,20 @@ def make_mesh(config: Config, devices: Optional[Sequence] = None) -> jax.shardin
         np.asarray(devs[:n]).reshape(config.mesh_data, config.mesh_vocab),
         (DATA_AXIS, VOCAB_AXIS),
     )
+
+
+def make_seq_mesh(
+    config: Config, devices: Optional[Sequence] = None
+) -> jax.sharding.Mesh:
+    """1-D ``('seq',)`` mesh for time-block pipeline training.
+
+    The seq axis carries per-round (c, h) carry ppermutes between neighbor
+    stages — place it on ICI neighbors.
+    """
+    n = config.mesh_seq
+    devs = list(devices) if devices is not None else jax.devices()
+    assert len(devs) >= n, f"need {n} devices, have {len(devs)}"
+    return jax.sharding.Mesh(np.asarray(devs[:n]), (SEQ_AXIS,))
 
 
 def multihost_init(

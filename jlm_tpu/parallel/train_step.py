@@ -119,6 +119,94 @@ def make_sharded_eval_step(
     return eval_step
 
 
+def _make_seq_loss_fn(
+    seq_mesh: jax.sharding.Mesh, config: Config, microbatches: int
+):
+    """Loss over the time-block pipeline (SURVEY.md §7 long-context row).
+
+    The BPTT window's time axis is sharded over the ``seq`` mesh axis and
+    the batch is split into ``microbatches`` pipeline streams; the (c, h)
+    carries hand off between neighbor devices via ``ppermute``
+    (:mod:`jlm_tpu.parallel.seq_pipeline`).  The embedding and the softmax
+    head run replicated — pairing ``seq`` with a ``vocab`` axis on a 2-D
+    mesh is the full config-5 layout; this step is the ``seq``-only wiring.
+    Exactly equals the single-device step (pinned by test_sharded).
+    """
+    from jlm_tpu.models.heads import full_softmax_loss
+    from jlm_tpu.models.lstm import _w, embed
+    from jlm_tpu.parallel.seq_pipeline import make_seq_pipeline_scan
+
+    pipe = make_seq_pipeline_scan(
+        seq_mesh, num_layers=config.num_layers, forget_bias=config.forget_bias
+    )
+    M = microbatches
+    L, H = config.num_layers, config.hidden_size
+
+    def loss_fn(params, state, x, y):
+        B_all, T = x.shape
+        assert B_all % M == 0, (
+            f"batch {B_all} must divide into {M} pipeline microbatches"
+        )
+        Bm = B_all // M
+        xs = embed(params, x).reshape(M, Bm, T, -1)
+        c0, h0 = state  # [L, B_all, H]
+        c0m = jnp.moveaxis(c0.reshape(L, M, Bm, H), 1, 0)  # [M, L, Bm, H]
+        h0m = jnp.moveaxis(h0.reshape(L, M, Bm, H), 1, 0)
+        layers = tuple((_w(l["W"]), l["b"]) for l in params["lstm"])
+        hs, c_f, h_f = pipe(xs, layers, c0m, h0m)
+        hs = hs.reshape(B_all, T, H)
+        loss = full_softmax_loss(params, config, hs, y)
+        new_state = (
+            jnp.moveaxis(c_f, 0, 1).reshape(L, B_all, H),
+            jnp.moveaxis(h_f, 0, 1).reshape(L, B_all, H),
+        )
+        return loss, new_state
+
+    return loss_fn
+
+
+def make_seq_train_step(
+    seq_mesh: jax.sharding.Mesh,
+    config: Config,
+    optimizer: optax.GradientTransformation,
+    microbatches: int = 0,
+) -> Callable:
+    """Jitted ``step(params, opt_state, state, x, y[, rng, lr])`` on a
+    ``('seq',)`` mesh — time-block pipeline parallel training.
+
+    ``microbatches`` defaults to the seq axis size (must be a multiple of
+    it; more microbatches raise pipeline utilization M/(M+P-1)).
+    """
+    P_seq = seq_mesh.shape["seq"]
+    M = microbatches or max(P_seq, min(config.batch_size, 2 * P_seq))
+    assert M % P_seq == 0, f"microbatches {M} must divide by seq axis {P_seq}"
+    loss_fn = _make_seq_loss_fn(seq_mesh, config, M)
+
+    @jax.jit
+    def step(params, opt_state, state, x, y, rng=None, lr=None):
+        del rng
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, state, x, y
+        )
+        if lr is not None and hasattr(opt_state, "hyperparams"):
+            opt_state.hyperparams["learning_rate"] = lr
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, new_state, loss
+
+    return step
+
+
+def make_seq_eval_step(
+    seq_mesh: jax.sharding.Mesh, config: Config, microbatches: int = 0
+) -> Callable:
+    """Jitted pipeline-parallel ``eval(params, state, x, y)``."""
+    P_seq = seq_mesh.shape["seq"]
+    M = microbatches or max(P_seq, min(config.batch_size, 2 * P_seq))
+    loss_fn = _make_seq_loss_fn(seq_mesh, config, M)
+    return jax.jit(loss_fn)
+
+
 def init_sharded_training(
     params: Any,
     config: Config,

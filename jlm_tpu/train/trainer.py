@@ -82,7 +82,29 @@ class Trainer:
         self.params = jax.tree.map(jnp.asarray, self.params)
         self.opt = make_optimizer(config)
         self.mesh = mesh
-        if mesh is not None and mesh.devices.size > 1:
+        if (
+            mesh is not None
+            and mesh.devices.size > 1
+            and "seq" in mesh.axis_names
+        ):
+            # Time-block pipeline parallelism over a ('seq',) mesh: the
+            # BPTT window's time axis shards across devices; (c, h) carries
+            # ppermute between neighbors (SURVEY.md §7 long-context row).
+            # Params stay replicated — the axis buys activation memory and
+            # recurrence wall-clock, not parameter memory.
+            from jlm_tpu.parallel.train_step import (
+                make_seq_eval_step,
+                make_seq_train_step,
+            )
+
+            self.opt_state = jax.jit(self.opt.init)(self.params)
+            self._train_step = make_seq_train_step(
+                mesh, config, self.opt, config.seq_microbatches
+            )
+            self._eval_step = make_seq_eval_step(
+                mesh, config, config.seq_microbatches
+            )
+        elif mesh is not None and mesh.devices.size > 1:
             if config.sampled_softmax_samples > 0:
                 raise ValueError(
                     "sampled softmax is a single-device training loss; the "

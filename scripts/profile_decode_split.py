@@ -49,6 +49,7 @@ def main():
     from jlm_tpu.decoder.engine import (
         _candidate_logits_batched,
         _decode_scan,
+        build_decode_head,
         full_softmax_forward,
         make_pallas_forward,
         pack_lattice_batch,
@@ -64,7 +65,8 @@ def main():
     )
     vocab = build_vocab(generate_corpus(2000, seed=1234), config.vocab_size)
     lexicon = Lexicon.from_vocab(vocab)
-    params = jax.tree.map(jnp.asarray, init_params(config))
+    params = dict(jax.tree.map(jnp.asarray, init_params(config)))
+    params["_decode"] = build_decode_head(params, config, jnp.bfloat16)
     kanas = [k for k, _ in generate_test_set(50, seed=777)]
     stream = (kanas * 3)[:128]
 
@@ -105,6 +107,17 @@ def main():
         C = cand_words.shape[1]
         x = embed(p, words.reshape(Sx * Bx))
         h_top, state = lstm_step(p, config, x, state, precision="default")
+        lse = project_lse(h_top, p["_decode"]["head_c"], config,
+                          compute_dtype=jnp.bfloat16, interpret=False)
+        v = lse.reshape(Sx, Bx, 1) * 1e-30
+        return jnp.broadcast_to(v, (Sx, Bx, C)), v[:, :, 0], state
+
+    def fwd_lstm_lse_fp32w(p, words, state, cand_words):
+        # round-1 comparison: fp32 weights streamed through the kernel
+        Sx, Bx = words.shape
+        C = cand_words.shape[1]
+        x = embed(p, words.reshape(Sx * Bx))
+        h_top, state = lstm_step(p, config, x, state, precision="default")
         lse = project_lse(h_top, p["head"], config,
                           compute_dtype=jnp.bfloat16, interpret=False)
         v = lse.reshape(Sx, Bx, 1) * 1e-30
@@ -129,8 +142,8 @@ def main():
     variants = [
         ("skeleton", fwd_skeleton),
         ("lstm_bf16", make_lstm_only("default")),
-        ("lstm_fp32", make_lstm_only("highest")),
         ("lstm_lse", fwd_lstm_lse),
+        ("lstm_lse_fp32w", fwd_lstm_lse_fp32w),
         ("lstm_cand", fwd_lstm_cand),
         ("pallas_full", fwd_pallas_full),
         ("jnp_full", fwd_jnp_full),
@@ -190,9 +203,9 @@ def main():
     log("--- attribution (deltas vs skeleton) ---")
     log(f"skeleton:        {sk*1e3:7.2f} ms")
     log(f"lstm bf16:       {(results['lstm_bf16']-sk)*1e3:7.2f} ms")
-    log(f"lstm fp32 extra: {(results['lstm_fp32']-results['lstm_bf16'])*1e3:7.2f} ms")
-    log(f"lse kernel:      {(results['lstm_lse']-results['lstm_bf16'])*1e3:7.2f} ms")
-    log(f"cand gather:     {(results['lstm_cand']-results['lstm_bf16'])*1e3:7.2f} ms")
+    log(f"lse bf16 w:      {(results['lstm_lse']-results['lstm_bf16'])*1e3:7.2f} ms")
+    log(f"lse fp32 w:      {(results['lstm_lse_fp32w']-results['lstm_bf16'])*1e3:7.2f} ms")
+    log(f"cand gather(old):{(results['lstm_cand']-results['lstm_bf16'])*1e3:7.2f} ms")
     log(f"full (pallas):   {results['pallas_full']*1e3:7.2f} ms")
     log(f"full (jnp):      {results['jnp_full']*1e3:7.2f} ms")
 

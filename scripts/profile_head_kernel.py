@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Standalone sweep of the projection-lse kernel at the decode hot shape.
+
+Separates MXU time from VPU (exp/logsumexp) time and finds the best
+(tile_r, tile_v, weight dtype) for ``[2048, 512] x [512, 50k]``:
+
+- xla_matmul:   plain jnp h @ W (bf16) — the MXU reference point
+- kernel dtype/tile sweep: the real project_lse kernel
+- kernel_nolse: same kernel with the exp/sum removed (matmul + max only)
+  — the delta vs the full kernel is the VPU logsumexp cost
+
+Timing via chained dispatch + single tiny fetch (block_until_ready does
+not synchronize through the tunneled axon backend).
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from jlm_tpu.config import Config
+    from jlm_tpu.ops.project import _project_block
+    from jlm_tpu.ops.quant import quantize_weight
+
+    R, H, V = 2048, 512, 50_176  # rows, hidden, vocab (padded to 2048)
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.normal(size=(R, H)), jnp.float32) * 0.1
+    W = jnp.asarray(rng.normal(size=(H, V)), jnp.float32) * 0.05
+    b = jnp.zeros((V,), jnp.float32)
+    qd = quantize_weight(np.asarray(W))
+    Wq, Ws = jnp.asarray(qd["q"]), jnp.asarray(qd["scale"])
+    Wbf = W.astype(jnp.bfloat16)
+    cand = jnp.full((128,), -1, jnp.int32)
+    flops = 2 * R * H * V
+    CH = 16
+
+    def timeit(fn, *args):
+        out = fn(*args)
+        first = jax.tree.leaves(out)[0]
+        float(np.asarray(first).reshape(-1)[0])  # compile + sync
+
+        def t_single():
+            t0 = time.time()
+            o = fn(*args)
+            float(np.asarray(jax.tree.leaves(o)[0]).reshape(-1)[0])
+            return time.time() - t0
+
+        def t_chain():
+            t0 = time.time()
+            o = None
+            for _ in range(CH):
+                o = fn(*args)
+            float(np.asarray(jax.tree.leaves(o)[0]).reshape(-1)[0])
+            return time.time() - t0
+
+        ts = min(t_single() for _ in range(2))
+        tc = min(t_chain() for _ in range(2))
+        return max((tc - ts) / (CH - 1), 1e-9)
+
+    # --- XLA reference matmul (bf16) -------------------------------------
+    @jax.jit
+    def xla_mm(h, w):
+        return jnp.dot(h.astype(jnp.bfloat16), w,
+                       preferred_element_type=jnp.float32).sum()
+
+    dt = timeit(xla_mm, h, Wbf)
+    log(f"xla_matmul bf16      {dt*1e3:7.2f} ms  {flops/dt/1e12:6.1f} TFLOP/s")
+
+    # --- XLA full log-softmax normalizer (what jnp head pays) ------------
+    @jax.jit
+    def xla_lse(h, w):
+        logits = jnp.dot(h.astype(jnp.bfloat16), w,
+                         preferred_element_type=jnp.float32)
+        m = jnp.max(logits, axis=1, keepdims=True)
+        return (m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=1,
+                                    keepdims=True))).sum()
+
+    dt = timeit(xla_lse, h, Wbf)
+    log(f"xla_matmul+lse bf16  {dt*1e3:7.2f} ms  {flops/dt/1e12:6.1f} TFLOP/s")
+
+    # --- kernel sweep ------------------------------------------------------
+    for wname, w_arr, w_scale in (
+        ("bf16", Wbf, None),
+        ("int8", Wq, Ws),
+        ("fp32", W, None),
+    ):
+        for tr in (512, 1024, 2048):
+            for tv in (1024, 2048, 4096):
+                # skip configs that blow VMEM (~double-buffered weight tile)
+                need = (2 * H * tv * w_arr.dtype.itemsize + tr * H * 4
+                        + tr * (3 * 128 + 128) * 4)
+                if need > 14 * 1024 * 1024:
+                    continue
+
+                @jax.jit
+                def run(h, w_arr=w_arr, w_scale=w_scale, tr=tr, tv=tv):
+                    _, m, s = _project_block(
+                        h, w_arr, w_scale, b, cand,
+                        tile_v=tv, compute_dtype=jnp.bfloat16,
+                        interpret=False, tile_r=tr,
+                    )
+                    return (m + jnp.log(s)).sum()
+
+                try:
+                    dt = timeit(run, h)
+                    log(f"kernel {wname} tr={tr:4d} tv={tv:4d} "
+                        f"{dt*1e3:7.2f} ms  {flops/dt/1e12:6.1f} TFLOP/s")
+                except Exception as e:
+                    log(f"kernel {wname} tr={tr:4d} tv={tv:4d} FAILED: "
+                        f"{str(e).splitlines()[0][:100]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,12 @@ def main(argv=None):
                     help="data-parallel axis size (sharded step if product>1)")
     ap.add_argument("--mesh-vocab", type=int, default=1,
                     help="vocab (tensor) parallel axis size")
+    ap.add_argument("--mesh-seq", type=int, default=1,
+                    help="sequence/time-block pipeline axis size (the BPTT "
+                         "window's time axis shards across devices; "
+                         "exclusive with --mesh-data/--mesh-vocab)")
+    ap.add_argument("--seq-microbatches", type=int, default=0,
+                    help="pipeline streams per step (0 = auto ~2x mesh-seq)")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 forward/backward with fp32 master params")
     ap.add_argument("--grad-accum", type=int, default=1,
@@ -77,13 +83,25 @@ def main(argv=None):
         seed=args.seed,
         mesh_data=args.mesh_data,
         mesh_vocab=args.mesh_vocab,
+        mesh_seq=args.mesh_seq,
+        seq_microbatches=args.seq_microbatches,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         grad_accum_steps=args.grad_accum,
         use_pallas_scan=args.pallas_scan,
         remat=args.remat,
     )
     mesh = None
-    if cfg.mesh_data * cfg.mesh_vocab > 1:
+    if cfg.mesh_seq > 1:
+        assert cfg.mesh_data * cfg.mesh_vocab == 1, (
+            "--mesh-seq is exclusive with --mesh-data/--mesh-vocab"
+        )
+        assert cfg.num_steps % cfg.mesh_seq == 0, (
+            "--num-steps must divide by --mesh-seq (time blocks)"
+        )
+        from jlm_tpu.parallel.mesh import make_seq_mesh
+
+        mesh = make_seq_mesh(cfg)
+    elif cfg.mesh_data * cfg.mesh_vocab > 1:
         from jlm_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(cfg)
