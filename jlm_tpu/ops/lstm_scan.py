@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: fused LSTM cell + time-block scan.
+"""Pallas TPU kernel: fused LSTM cell + time-block scan, forward + backward.
 
 Native kernel #1 of SURVEY.md §3.2: replaces the reference's numpy LSTM
 step (ref: JLM:decoder/ model file) and the XLA scan of
@@ -6,18 +6,32 @@ step (ref: JLM:decoder/ model file) and the XLA scan of
 
 Why a kernel: an XLA ``lax.scan`` re-reads the ``[E+H, 4H]`` weight matrix
 from HBM every step (6.3 MB at H=512 — tens of µs of HBM bandwidth per
-step).  Here the grid walks time blocks, weights are loaded into VMEM ONCE
-(constant index_map → Mosaic keeps the block resident), the (c, h) carry
-lives in VMEM scratch across grid steps (the "overlap-save halo" hand-off
-of SURVEY.md §7 within one chip), and each step fuses both gate matmuls +
-all elementwise gate math in one pass.
+step).  Here the grid walks (batch block, time block) with time minor;
+weights are loaded into VMEM ONCE per batch block (constant-in-t index_map
+→ Mosaic keeps them resident), the (c, h) carry lives in VMEM scratch
+across time blocks (the "overlap-save halo" hand-off of SURVEY.md §7
+within one chip), and each step fuses both gate matmuls + all elementwise
+gate math in one pass.
 
 Gate order i, j, f, o; ``c' = σ(f+fb)·c + σ(i)·tanh(j)``,
 ``h' = σ(o)·tanh(c')`` — identical numerics to the oracle (§4.2).
 
-``lstm_scan`` carries a custom VJP whose backward runs the jnp reference
-(XLA scan) — training gradients stay exact while the forward-only hot
-paths (PPL eval, decode priming, streaming scoring) get the fused kernel.
+``lstm_scan`` carries a custom VJP with a REAL Pallas backward (VERDICT r1
+#9): the forward saves the cell-state sequence, so the backward kernel
+walks time blocks in reverse, recomputes each step's gate pre-activations
+from the saved ``(x_t, h_{t-1})`` (both are stored sequences — no
+sequential recompute chain), chains the ``(dc, dh)`` carries in VMEM
+scratch, and emits per-step gate grads ``dz`` plus ``dx``; the weight
+gradient then falls out as ONE large ``[E+H, B·T]×[B·T, 4H]`` MXU matmul
+outside the kernel.  Round 1's bridge backward re-ran the whole forward
+through the jnp reference (2× forward FLOPs + T weight re-reads from HBM);
+this backward reads the weights once per (batch block, time sweep) and
+never re-materializes the forward.
+
+Tile sizes auto-shrink to the ~16 MB scoped-VMEM budget (batch blocks
+first keep the MXU fed; time blocks shrink next); dims whose weights alone
+bust the budget fall back to the jnp reference instead of failing to
+compile (VERDICT r1 weak #6).
 """
 
 from __future__ import annotations
@@ -30,30 +44,63 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_VMEM_BUDGET = 12 * 1024 * 1024  # headroom below the 16 MB scoped limit
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _lstm_block_kernel(
-    x_ref,  # [B, TB, E] embedded inputs for this time block
-    wx_ref,  # [E, 4H] input->gates weights (VMEM-resident)
-    wh_ref,  # [H, 4H] hidden->gates weights (VMEM-resident)
+def _divisor_tiles(n: int, cap: int):
+    """Divisors of n, descending, capped — candidate tile sizes."""
+    return [d for d in range(min(n, cap), 0, -1) if n % d == 0]
+
+
+def _auto_tiles(B, T, E, H, w_itemsize, slot_bytes, time_block):
+    """Largest (batch_tile, time_tile) fitting the scoped-VMEM budget.
+
+    ``slot_bytes``: VMEM bytes per (b, t) slot across all time-blocked refs
+    (doubled for Mosaic's pipelining double-buffer).  Returns None if the
+    weights alone overflow — caller falls back to the jnp reference.
+    """
+    w_bytes = (E + H) * 4 * H * w_itemsize
+    fixed = w_bytes + 4 * H * 4  # weights + bias
+    if fixed > _VMEM_BUDGET:
+        return None
+    for bb in _divisor_tiles(B, 512):
+        carry = 8 * bb * H * 4  # c/h carries (scratch + edge blocks)
+        for tb in _divisor_tiles(T, time_block):
+            if fixed + carry + 2 * bb * tb * slot_bytes <= _VMEM_BUDGET:
+                return bb, tb
+    return None
+
+
+# --------------------------------------------------------------------------
+# forward
+# --------------------------------------------------------------------------
+
+
+def _lstm_fwd_kernel(
+    x_ref,  # [BB, TB, E] embedded inputs for this (batch, time) block
+    wx_ref,  # [E, 4H] input->gates weights (VMEM-resident per batch block)
+    wh_ref,  # [H, 4H] hidden->gates weights
     b_ref,  # [1, 4H]
-    c0_ref,  # [B, H] initial cell state
-    h0_ref,  # [B, H] initial hidden state
-    hs_ref,  # out [B, TB, H]
-    c_out_ref,  # out [B, H] final cell state
-    h_out_ref,  # out [B, H] final hidden state
-    c_ref,  # scratch [B, H] carry
-    h_ref,  # scratch [B, H] carry
+    c0_ref,  # [BB, H] initial cell state
+    h0_ref,  # [BB, H] initial hidden state
+    hs_ref,  # out [BB, TB, H]
+    cs_ref,  # out [BB, TB, H] (saved for the backward; may alias hs in size)
+    c_out_ref,  # out [BB, H] final cell state
+    h_out_ref,  # out [BB, H] final hidden state
+    c_ref,  # scratch [BB, H] carry
+    h_ref,  # scratch [BB, H] carry
     *,
     tb: int,
     hidden: int,
     forget_bias: float,
     compute_dtype,
+    save_cs: bool,
 ):
-    t_blk = pl.program_id(0)
+    t_blk = pl.program_id(1)
 
     @pl.when(t_blk == 0)
     def _init():
@@ -88,11 +135,13 @@ def _lstm_block_kernel(
         c_ref[:] = c
         h_ref[:] = h
         hs_ref[:, t, :] = h
+        if save_cs:
+            cs_ref[:, t, :] = c
         return 0
 
     jax.lax.fori_loop(0, tb, step, 0)
 
-    @pl.when(t_blk == pl.num_programs(0) - 1)
+    @pl.when(t_blk == pl.num_programs(1) - 1)
     def _emit():
         c_out_ref[:] = c_ref[:]
         h_out_ref[:] = h_ref[:]
@@ -109,56 +158,275 @@ def _lstm_scan_fwd_impl(
     time_block: int,
     compute_dtype,
     interpret: bool,
+    save_cs: bool,
 ):
+    """Returns (hs, cs | None, c_T, h_T); None when the dims don't fit."""
     B, T, E = xs.shape
     H = h0.shape[-1]
-    TB = min(time_block, T)
-    assert T % TB == 0, f"T={T} must divide by time_block={TB}"
+    slot = (E + (2 if save_cs else 1) * H) * 4  # x + hs (+ cs) per (b, t)
+    tiles = _auto_tiles(B, T, E, H, W.dtype.itemsize, slot, time_block)
+    if tiles is None:
+        hs, c_f, h_f = lstm_scan_ref(xs, W, b, c0, h0, forget_bias)
+        if not save_cs:
+            return hs, None, c_f, h_f
+        # reconstruct cs via the reference scan (rare fallback path)
+        _, cs = _ref_with_cs(xs, W, b, c0, h0, forget_bias)
+        return hs, cs, c_f, h_f
+    bb, tb = tiles
     wx, wh = W[:E], W[E:]
 
-    hs, c_f, h_f = pl.pallas_call(
+    cs_shape = (B, T, H) if save_cs else (B, T, 1)
+    hs, cs, c_f, h_f = pl.pallas_call(
         functools.partial(
-            _lstm_block_kernel,
-            tb=TB,
+            _lstm_fwd_kernel,
+            tb=tb,
             hidden=H,
             forget_bias=forget_bias,
             compute_dtype=compute_dtype,
+            save_cs=save_cs,
         ),
-        grid=(T // TB,),
+        grid=(B // bb, T // tb),
         in_specs=[
-            pl.BlockSpec((B, TB, E), lambda t: (0, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, tb, E), lambda bq, t: (bq, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, 4 * H), lambda bq, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 4 * H), lambda bq, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * H), lambda bq, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, H), lambda bq, t: (bq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, H), lambda bq, t: (bq, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((B, TB, H), lambda t: (0, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, tb, H), lambda bq, t: (bq, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bb, tb, cs_shape[2]), lambda bq, t: (bq, t, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((bb, H), lambda bq, t: (bq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, H), lambda bq, t: (bq, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, T, H), jnp.float32),
+            jax.ShapeDtypeStruct(cs_shape, jnp.float32),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((bb, H), jnp.float32),
+            pltpu.VMEM((bb, H), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * T * (E + H) * 4 * H,
-            bytes_accessed=(E + H) * 4 * H * 4 + B * T * (E + H) * 4,
+            bytes_accessed=(B // bb) * (E + H) * 4 * H * W.dtype.itemsize
+            + B * T * (E + H) * 4,
             transcendentals=5 * B * T * H,
         ),
         interpret=interpret,
     )(xs, wx, wh, b.reshape(1, -1), c0, h0)
-    return hs, c_f, h_f
+    return hs, (cs if save_cs else None), c_f, h_f
+
+
+def _ref_with_cs(xs, W, b, c0, h0, forget_bias):
+    """Reference scan that also returns the cell-state sequence."""
+    H = h0.shape[-1]
+
+    def step(carry, x_t):
+        c, h = carry
+        z = jnp.concatenate([x_t, h], axis=-1) @ W + b
+        i, j, f, o = jnp.split(z, 4, axis=-1)
+        c = jax.nn.sigmoid(f + forget_bias) * c + jax.nn.sigmoid(i) * jnp.tanh(j)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (c, h), (h, c)
+
+    (_, _), (hs, cs) = jax.lax.scan(step, (c0, h0), jnp.swapaxes(xs, 0, 1))
+    return jnp.swapaxes(hs, 0, 1), jnp.swapaxes(cs, 0, 1)
+
+
+# --------------------------------------------------------------------------
+# backward
+# --------------------------------------------------------------------------
+
+
+def _lstm_bwd_kernel(
+    x_ref,  # [BB, TB, E]
+    hp_ref,  # [BB, TB, H] h_{t-1} sequence
+    cp_ref,  # [BB, TB, H] c_{t-1} sequence
+    cs_ref,  # [BB, TB, H] c_t sequence
+    dhs_ref,  # [BB, TB, H] upstream grad on hs
+    wx_ref,  # [E, 4H]
+    wh_ref,  # [H, 4H]
+    b_ref,  # [1, 4H]
+    dcf_ref,  # [BB, H] upstream grad on c_T
+    dhf_ref,  # [BB, H] upstream grad on h_T
+    dz_ref,  # out [BB, TB, 4H] gate-preactivation grads
+    dx_ref,  # out [BB, TB, E]
+    dc0_ref,  # out [BB, H]
+    dh0_ref,  # out [BB, H]
+    dc_ref,  # scratch [BB, H] carry
+    dh_ref,  # scratch [BB, H] carry
+    *,
+    tb: int,
+    hidden: int,
+    forget_bias: float,
+    compute_dtype,
+):
+    # grid = (batch blocks, time blocks REVERSED via index_map): t_blk 0
+    # sees the LAST time block, so the carry init runs there.
+    t_blk = pl.program_id(1)
+
+    @pl.when(t_blk == 0)
+    def _init():
+        dc_ref[:] = dcf_ref[:]
+        dh_ref[:] = dhf_ref[:]
+
+    H = hidden
+
+    def step(k, _):
+        t = tb - 1 - k
+        # recompute this step's gates from the SAVED (x_t, h_{t-1}) — both
+        # are stored sequences, so there is no sequential recompute chain.
+        z = (
+            jnp.dot(
+                x_ref[:, t, :].astype(compute_dtype),
+                wx_ref[:].astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + jnp.dot(
+                hp_ref[:, t, :].astype(compute_dtype),
+                wh_ref[:].astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + b_ref[0, :][None, :]
+        )
+        si = jax.nn.sigmoid(z[:, 0:H])
+        tj = jnp.tanh(z[:, H : 2 * H])
+        sf = jax.nn.sigmoid(z[:, 2 * H : 3 * H] + forget_bias)
+        so = jax.nn.sigmoid(z[:, 3 * H : 4 * H])
+        tc = jnp.tanh(cs_ref[:, t, :])
+
+        dh_tot = dhs_ref[:, t, :] + dh_ref[:]
+        dc_tot = dh_tot * so * (1.0 - tc * tc) + dc_ref[:]
+        di = dc_tot * tj * si * (1.0 - si)
+        dj = dc_tot * si * (1.0 - tj * tj)
+        df = dc_tot * cp_ref[:, t, :] * sf * (1.0 - sf)
+        do = dh_tot * tc * so * (1.0 - so)
+        dz = jnp.concatenate([di, dj, df, do], axis=1)  # [BB, 4H]
+        dz_ref[:, t, :] = dz
+        dzc = dz.astype(compute_dtype)
+        dx_ref[:, t, :] = jax.lax.dot_general(
+            dzc,
+            wx_ref[:].astype(compute_dtype),
+            (((1,), (1,)), ((), ())),  # dz @ wx^T
+            preferred_element_type=jnp.float32,
+        )
+        dh_ref[:] = jax.lax.dot_general(
+            dzc,
+            wh_ref[:].astype(compute_dtype),
+            (((1,), (1,)), ((), ())),  # dz @ wh^T
+            preferred_element_type=jnp.float32,
+        )
+        dc_ref[:] = dc_tot * sf
+        return 0
+
+    jax.lax.fori_loop(0, tb, step, 0)
+
+    @pl.when(t_blk == pl.num_programs(1) - 1)
+    def _emit():
+        dc0_ref[:] = dc_ref[:]
+        dh0_ref[:] = dh_ref[:]
+
+
+def _lstm_scan_bwd_impl(
+    xs, W, b, c0, h0, hs, cs, d_hs, d_cf, d_hf,
+    *,
+    forget_bias: float,
+    time_block: int,
+    compute_dtype,
+    interpret: bool,
+):
+    B, T, E = xs.shape
+    H = h0.shape[-1]
+    h_prev = jnp.concatenate([h0[:, None], hs[:, :-1]], axis=1)
+    c_prev = jnp.concatenate([c0[:, None], cs[:, :-1]], axis=1)
+
+    # per-(b,t) slot: x + 4×H seqs + dz + dx (doubled for pipelining)
+    slot = (2 * E + 4 * H + 4 * H) * 4
+    tiles = _auto_tiles(B, T, E, H, W.dtype.itemsize, slot, time_block)
+    if tiles is None:
+        return _bwd_ref(xs, W, b, c0, h0, d_hs, d_cf, d_hf, forget_bias)
+    bb, tb = tiles
+    wx, wh = W[:E], W[E:]
+    nt = T // tb
+
+    dz, dxs, dc0, dh0 = pl.pallas_call(
+        functools.partial(
+            _lstm_bwd_kernel,
+            tb=tb,
+            hidden=H,
+            forget_bias=forget_bias,
+            compute_dtype=compute_dtype,
+        ),
+        grid=(B // bb, nt),
+        in_specs=[
+            pl.BlockSpec((bb, tb, E), lambda bq, t: (bq, nt - 1 - t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, tb, H), lambda bq, t: (bq, nt - 1 - t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, tb, H), lambda bq, t: (bq, nt - 1 - t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, tb, H), lambda bq, t: (bq, nt - 1 - t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, tb, H), lambda bq, t: (bq, nt - 1 - t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, 4 * H), lambda bq, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 4 * H), lambda bq, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * H), lambda bq, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, H), lambda bq, t: (bq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, H), lambda bq, t: (bq, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bb, tb, 4 * H), lambda bq, t: (bq, nt - 1 - t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, tb, E), lambda bq, t: (bq, nt - 1 - t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, H), lambda bq, t: (bq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, H), lambda bq, t: (bq, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, T, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((B, T, E), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bb, H), jnp.float32),
+            pltpu.VMEM((bb, H), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * (E + H) * 4 * H + 2 * B * T * 4 * H * (E + H),
+            bytes_accessed=B * T * (2 * E + 8 * H) * 4
+            + (B // bb) * (E + H) * 4 * H * W.dtype.itemsize,
+            transcendentals=4 * B * T * H,
+        ),
+        interpret=interpret,
+    )(xs, h_prev, c_prev, cs, d_hs, wx, wh, b.reshape(1, -1), d_cf, d_hf)
+
+    # weight/bias grads: one big MXU matmul over all (b, t) rows.
+    xh = jnp.concatenate([xs, h_prev], axis=-1).reshape(B * T, E + H)
+    dW = jax.lax.dot_general(
+        xh, dz.reshape(B * T, 4 * H), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # xh^T @ dz -> [E+H, 4H]
+    db = jnp.sum(dz, axis=(0, 1))
+    return dxs, dW.astype(W.dtype), db.astype(b.dtype), dc0, dh0
+
+
+def _bwd_ref(xs, W, b, c0, h0, d_hs, d_cf, d_hf, forget_bias):
+    """jnp-reference backward (fallback when dims overflow VMEM)."""
+    _, vjp = jax.vjp(
+        lambda xs, W, b, c0, h0: lstm_scan_ref(xs, W, b, c0, h0, forget_bias),
+        xs, W, b, c0, h0,
+    )
+    return vjp((d_hs, d_cf, d_hf))
+
+
+# --------------------------------------------------------------------------
+# public API
+# --------------------------------------------------------------------------
 
 
 def lstm_scan_ref(xs, W, b, c0, h0, forget_bias: float = 1.0):
-    """jnp reference (XLA scan) — also the backward path of the kernel."""
+    """jnp reference (XLA scan) — the parity anchor for both kernels."""
     H = h0.shape[-1]
 
     def step(carry, x_t):
@@ -184,29 +452,39 @@ def lstm_scan(
     interpret: bool = False,
 ):
     """Fused LSTM over ``[B, T, E]`` → ``(hs [B,T,H], c_T, h_T)``."""
-    return _lstm_scan_fwd_impl(
+    hs, _, c_f, h_f = _lstm_scan_fwd_impl(
         xs, W, b, c0, h0,
         forget_bias=forget_bias,
         time_block=time_block,
         compute_dtype=compute_dtype,
         interpret=interpret,
+        save_cs=False,
     )
+    return hs, c_f, h_f
 
 
 def _fwd(xs, W, b, c0, h0, forget_bias, time_block, compute_dtype, interpret):
-    out = lstm_scan(
-        xs, W, b, c0, h0, forget_bias, time_block, compute_dtype, interpret
+    hs, cs, c_f, h_f = _lstm_scan_fwd_impl(
+        xs, W, b, c0, h0,
+        forget_bias=forget_bias,
+        time_block=time_block,
+        compute_dtype=compute_dtype,
+        interpret=interpret,
+        save_cs=True,
     )
-    return out, (xs, W, b, c0, h0)
+    return (hs, c_f, h_f), (xs, W, b, c0, h0, hs, cs)
 
 
 def _bwd(forget_bias, time_block, compute_dtype, interpret, res, g):
-    xs, W, b, c0, h0 = res
-    _, vjp = jax.vjp(
-        lambda xs, W, b, c0, h0: lstm_scan_ref(xs, W, b, c0, h0, forget_bias),
-        xs, W, b, c0, h0,
+    xs, W, b, c0, h0, hs, cs = res
+    d_hs, d_cf, d_hf = g
+    return _lstm_scan_bwd_impl(
+        xs, W, b, c0, h0, hs, cs, d_hs, d_cf, d_hf,
+        forget_bias=forget_bias,
+        time_block=time_block,
+        compute_dtype=compute_dtype,
+        interpret=interpret,
     )
-    return vjp(g)
 
 
 lstm_scan.defvjp(_fwd, _bwd)

@@ -125,17 +125,37 @@ def _project_block(
     B, D = h.shape
     S = weight.shape[1]
     C = cand_local.shape[0]
-    tv = min(tile_v, _round_up(S, 128))
     if tile_r is None:
-        budget = 12 * 1024 * 1024  # leave headroom below the 16 MB limit
-        w_bytes = 2 * D * tv * weight.dtype.itemsize  # double-buffered tile
-        tile_r = 8
-        while tile_r < 2048:
-            trial = tile_r * 2
-            need = w_bytes + trial * D * 4 + trial * (3 * 128 + C) * 4
-            if need > budget:
-                break
-            tile_r = trial
+        # Joint (row tile, vocab tile) search under the ~16 MB scoped-VMEM
+        # limit.  The dominant term is the [tr, tv] fp32 logits tile the
+        # matmul materializes (round 1's sizing omitted it and OOM'd at
+        # tr=2048).  Larger tr wins first — every extra row sweep re-streams
+        # the whole weight matrix from HBM — then larger tv (fewer grid
+        # steps per sweep).
+        budget = 12 * 1024 * 1024
+        best = (256, min(tile_v, _round_up(S, 128)))
+        for tv_try in (2048, 1024, 512, 256):
+            tvc = min(tv_try, _round_up(S, 128))
+            fixed = (
+                2 * D * tvc * weight.dtype.itemsize  # double-buffered W tile
+                + tvc * C * 4  # candidate one-hot
+                + 4 * tvc * 4  # scale + bias tiles (double-buffered)
+            )
+            tr_try = 8
+            while tr_try < 2048:
+                trial = tr_try * 2
+                need = fixed + trial * (
+                    D * 4  # h row block
+                    + 2 * tvc * 4  # logits + one elementwise temp
+                    + 2 * (C + 256) * 4  # outputs, double-buffered
+                )
+                if need > budget:
+                    break
+                tr_try = trial
+            if tr_try > best[0] or (tr_try == best[0] and tvc > best[1]):
+                best = (tr_try, tvc)
+        tile_r, tile_v = best
+    tv = min(tile_v, _round_up(S, 128))
     tr = min(tile_r, _round_up(B, 8))
     S_pad = _round_up(S, tv)
     B_pad = _round_up(B, tr)
