@@ -310,9 +310,12 @@ def _decode_scan(
     params,
     packed,  # int32 [S, T_max, N] (pack_lattice_batch)
     lengths,  # int32 [S]
+    root=None,  # optional carried beam from a previous chunk (chain mode):
+    #   {"words" [S, B], "score" [S, B], "c"/"h" [L, S*B, H]}
     *,
     config: Config,
     forward_fn: ForwardFn,
+    chain: bool = False,
 ):
     # T_max here is the BATCH's bucketed time bound (<= config.max_kana_len):
     # short inputs scan far fewer frames than the global static maximum.
@@ -334,20 +337,32 @@ def _decode_scan(
     payload_0 = jax.tree.map(lambda a: a[:, 0], payload)
     payload_xs = jax.tree.map(lambda a: jnp.moveaxis(a[:, 1:], 1, 0), payload)
 
-    # --- position-0 root beam: path 0 alive, fed <eos> from zero state ---
-    c0 = jnp.zeros((L, S * B, H), jnp.float32)
-    h0 = jnp.zeros((L, S * B, H), jnp.float32)
-    cand0, _eos0, (c1, h1) = forward_fn(
-        params, jnp.full((S, B), EOS_ID, jnp.int32), (c0, h0), payload_0
-    )
+    # --- position-0 root beam ---
+    # Default: path 0 alive, fed <eos> from zero state.  Chain mode feeds a
+    # carried beam from the previous chunk of a long input instead (every
+    # beam slot alive with its own score/state/last word) — the TPU-native
+    # answer to inputs longer than the static scan bound (the reference's
+    # uncapped Python lists have no length limit; chunk boundaries force a
+    # word boundary, documented in BeamDecoder.decode_long).
+    if root is None:
+        c0 = jnp.zeros((L, S * B, H), jnp.float32)
+        h0 = jnp.zeros((L, S * B, H), jnp.float32)
+        words0 = jnp.full((S, B), EOS_ID, jnp.int32)
+        score0 = jnp.full((S, B), NEG).at[:, 0].set(0.0)
+    else:
+        c0, h0 = root["c"], root["h"]
+        words0 = root["words"]
+        score0 = root["score"]
+    cand0, _eos0, (c1, h1) = forward_fn(params, words0, (c0, h0), payload_0)
     cand0 = jnp.where(look_m[:, 0][:, None, :], cand0, NEG)
+    cand0 = jnp.where(score0[:, :, None] > NEG / 2, cand0, NEG)
 
     # Ring caches indexed [S, pos % R, ...]; states stored as
     # [S, R, B, L, H] so a single flat (ring_row*B + path) take_along_axis
     # gathers survivors.  Only the last max_word_len rows are ever read, so
     # stale rows beyond the span can never leak (masked extensions aside,
     # starts always satisfy pos - start <= max_word_len < R).
-    score = jnp.full((S, R, B), NEG).at[:, 0, 0].set(0.0)
+    score = jnp.full((S, R, B), NEG).at[:, 0].set(score0)
     cand_cache = jnp.zeros((S, R, B, C)).at[:, 0].set(cand0)
 
     def state_to_cache(c):  # [L, S*B, H] -> [S, B, L, H]
@@ -361,7 +376,7 @@ def _decode_scan(
     final = jnp.full((S, B), NEG)
 
     def step(carry, xs):
-        score, cand_cache, c_cache, h_cache, final = carry
+        score, cand_cache, c_cache, h_cache, final = carry[:5]
         pos, words_t, starts_t, mask_t, cidx_t, look_m_t, payload_t = xs
         # words_t/starts_t/... [S, N]; look_m_t [S, C]
         ring_t = starts_t & (R - 1)  # ring row of each node's start
@@ -423,10 +438,10 @@ def _decode_scan(
         cand_cache = cand_cache.at[:, ring_w].set(cand_new)
         c_cache = c_cache.at[:, ring_w].set(state_to_cache(c_new))
         h_cache = h_cache.at[:, ring_w].set(state_to_cache(h_new))
-        return (
-            (score, cand_cache, c_cache, h_cache, final),
-            (src_pos, sel_p, sel_n),
-        )
+        carry_out = (score, cand_cache, c_cache, h_cache, final)
+        if chain:
+            carry_out = carry_out + (new_words,)
+        return carry_out, (src_pos, sel_p, sel_n)
 
     xs = (
         jnp.arange(1, T_max + 1),
@@ -438,13 +453,26 @@ def _decode_scan(
         payload_xs,
     )
     carry = (score, cand_cache, c_cache, h_cache, final)
-    (_, _, _, _, final), bp = jax.lax.scan(step, carry, xs)
+    if chain:
+        carry = carry + (jnp.broadcast_to(words0, (S, B)),)
+        (score, _, c_cache, h_cache, final, last_words), bp = jax.lax.scan(
+            step, carry, xs
+        )
+    else:
+        (score, _, c_cache, h_cache, final), bp = jax.lax.scan(step, carry, xs)
     bp_src, bp_p, bp_n = bp  # each [T_max, S, B]
 
     # Device-side backtracking for the top-K beams; only compact paths are
     # fetched (host link: ~200 ms latency per transfer, keep payload tiny).
-    K = min(config.n_best_max, B)
-    top_vals, top_beams = jax.lax.top_k(final, K)  # [S, K]
+    if chain:
+        # chain mode walks EVERY beam slot: the host only learns which
+        # boundary beams matter after later chunks are decoded.
+        K = B
+        top_beams = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32), (S, B))
+        top_vals = final
+    else:
+        K = min(config.n_best_max, B)
+        top_vals, top_beams = jax.lax.top_k(final, K)  # [S, K]
     bp_src_s = jnp.moveaxis(bp_src, 1, 0)  # [S, T_max, B]
     bp_p_s = jnp.moveaxis(bp_p, 1, 0)
     bp_n_s = jnp.moveaxis(bp_n, 1, 0)
@@ -471,13 +499,31 @@ def _decode_scan(
         return nxt, out
 
     init = (jnp.broadcast_to(lengths[:, None], (S, K)), top_beams)
-    _, paths = jax.lax.scan(wstep, init, None, length=T_max)
+    (_, root_beam), paths = jax.lax.scan(wstep, init, None, length=T_max)
     paths = jnp.moveaxis(paths, 0, 2)  # [S, K, T_max, 2], end-to-start
 
-    return {
+    out = {
         "final_topk": top_vals,  # [S, K]
         "paths": paths.astype(jnp.int16),  # small ints: cheap to fetch
+        # each walked beam's slot at position 0 — in chain mode that IS its
+        # beam index in the previous chunk (root beams sit at position 0
+        # with path identity = slot), which is what stitches long inputs.
+        "root_beam": root_beam,  # [S, K]
     }
+    if chain:
+        # Boundary beam for the next chunk: ring row T_max (requires every
+        # length == T_max, asserted host-side) — scores WITHOUT the <eos>
+        # rescore, per-beam LSTM states, last words, and each beam's root
+        # slot (= its beam index in the previous chunk) for path stitching.
+        ring_T = T_max & (R - 1)
+        out["chain"] = {
+            "words": last_words,
+            "score": score[:, ring_T],
+            "c": cache_to_state(c_cache[:, ring_T]),
+            "h": cache_to_state(h_cache[:, ring_T]),
+        }
+        out["root_beam"] = root_beam  # [S, B]
+    return out
 
 
 class BeamDecoder:
@@ -539,6 +585,12 @@ class BeamDecoder:
         self._decode_jit = jax.jit(
             functools.partial(_decode_scan, config=config, forward_fn=fwd)
         )
+        # chain-mode variant for long inputs (decode_long): exports the
+        # boundary beam and walks every beam slot back to its root.
+        self._decode_jit_chain = jax.jit(
+            functools.partial(_decode_scan, config=config, forward_fn=fwd,
+                              chain=True)
+        )
 
     def results_from_packed(
         self, kana: str, packed_row: np.ndarray, finals: np.ndarray,
@@ -558,19 +610,7 @@ class BeamDecoder:
         for k in range(min(n_best, len(finals))):
             if finals[k] <= -1e29:
                 continue
-            segs: List[Tuple[str, int]] = []
-            for pos, n in paths[k]:
-                if pos <= 0:
-                    break
-                node = int(packed_row[int(pos) - 1, int(n)])
-                word = node & ((1 << _WORD_BITS) - 1)
-                start = (node >> _START_SHIFT) & 0x3F
-                display = (
-                    kana[start:int(pos)] if word == UNK_ID
-                    else self.vocab.display(word)
-                )
-                segs.append((display, word))
-            segs.reverse()
+            segs = self._segments(kana, packed_row, paths[k])
             results.append(
                 DecodeResult(
                     surface="".join(d for d, _ in segs),
@@ -579,6 +619,25 @@ class BeamDecoder:
                 )
             )
         return results
+
+    def _segments(
+        self, kana: str, packed_row: np.ndarray, path: np.ndarray
+    ) -> List[Tuple[str, int]]:
+        """Decode one device-walked path (end-to-start) into segments."""
+        segs: List[Tuple[str, int]] = []
+        for pos, n in path:
+            if pos <= 0:
+                break
+            node = int(packed_row[int(pos) - 1, int(n)])
+            word = node & ((1 << _WORD_BITS) - 1)
+            start = (node >> _START_SHIFT) & 0x3F
+            display = (
+                kana[start:int(pos)] if word == UNK_ID
+                else self.vocab.display(word)
+            )
+            segs.append((display, word))
+        segs.reverse()
+        return segs
 
     @staticmethod
     def _bucket(n: int) -> int:
@@ -640,6 +699,24 @@ class BeamDecoder:
     def decode_batch(
         self, kanas: List[str], n_best: int = 1
     ) -> List[List[DecodeResult]]:
+        T_c = self.config.max_kana_len
+        if any(len(k) > T_c for k in kanas):
+            # route over-length inputs through the chunked path; keep the
+            # rest batched
+            short = [k for k in kanas if len(k) <= T_c]
+            by_kana: Dict[int, List[DecodeResult]] = {}
+            if short:
+                packed, out = self.decode_batch_async(short)
+                for i, r in enumerate(self.materialize(short, packed, out, n_best)):
+                    by_kana[i] = r
+            results, si = [], 0
+            for k in kanas:
+                if len(k) > T_c:
+                    results.append(self.decode_long(k, n_best))
+                else:
+                    results.append(by_kana[si])
+                    si += 1
+            return results
         packed, out = self.decode_batch_async(kanas)
         return self.materialize(kanas, packed, out, n_best)
 
@@ -663,5 +740,75 @@ class BeamDecoder:
             results.extend(self.materialize(c, packed, out, n_best))
         return results
 
+    def _pack_one(self, kana: str):
+        if self._native is not None:
+            packed, lengths = self._native.pack_batch([kana])
+        else:
+            lat = build_lattice(kana, self.lexicon, self.vocab, self.config)
+            packed, lengths = pack_lattice_batch([lat])
+        return packed[:, : max(int(lengths.max()), 1)], lengths
+
+    def decode_long(self, kana: str, n_best: int = 1) -> List[DecodeResult]:
+        """Decode an input longer than the static scan bound, in chunks.
+
+        The kana splits into ``max_kana_len``-sized chunks; each chunk's
+        scan exports its full boundary beam (scores, LSTM states, last
+        words) which seeds the next chunk's root, so LM context and scores
+        flow across the whole input.  Approximation vs the reference's
+        uncapped lattice (SURVEY.md §4.5): a word cannot SPAN a chunk
+        boundary — every ``max_kana_len``-th position is forced to be a
+        word boundary.  With max_kana_len=62 and max_word_len=5 this
+        touches only pathological inputs; scores remain exact for the
+        searched paths.  Beam states never leave the device between chunks.
+        """
+        cfg = self.config
+        T_c = cfg.max_kana_len
+        parts = [kana[i : i + T_c] for i in range(0, len(kana), T_c)]
+        outs = []
+        root = None
+        for i, part in enumerate(parts):
+            last = i == len(parts) - 1
+            packed, lengths = self._pack_one(part)
+            if not last:
+                # chain mode requires length == the scan bound exactly
+                assert int(lengths[0]) == packed.shape[1] == T_c
+            fn = self._decode_jit if last else self._decode_jit_chain
+            out = fn(self.params, jnp.asarray(packed), jnp.asarray(lengths),
+                     root)
+            root = out.get("chain")  # stays on device
+            outs.append((part, packed, out))
+        last_part, last_packed, last_out = outs[-1]
+        finals = np.asarray(last_out["final_topk"])[0]
+        paths = np.asarray(last_out["paths"])[0]
+        roots = np.asarray(last_out["root_beam"])[0]
+        prev = [
+            (
+                part,
+                packed,
+                np.asarray(out["paths"])[0],
+                np.asarray(out["root_beam"])[0],
+            )
+            for part, packed, out in outs[:-1]
+        ]
+        results = []
+        for k in range(min(n_best, len(finals))):
+            if finals[k] <= -1e29:
+                continue
+            segs = self._segments(last_part, last_packed[0], paths[k])
+            rb = int(roots[k])
+            for part, packed, paths_j, roots_j in reversed(prev):
+                segs = self._segments(part, packed[0], paths_j[rb]) + segs
+                rb = int(roots_j[rb])
+            results.append(
+                DecodeResult(
+                    surface="".join(d for d, _ in segs),
+                    score=float(finals[k]),
+                    segments=segs,
+                )
+            )
+        return results
+
     def decode(self, kana: str, n_best: int = 1) -> List[DecodeResult]:
+        if len(kana) > self.config.max_kana_len:
+            return self.decode_long(kana, n_best)
         return self.decode_batch([kana], n_best)[0]

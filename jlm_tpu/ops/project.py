@@ -52,6 +52,8 @@ def _proj_kernel(
     tile_v: int,
     compute_dtype,
     quantized: bool,
+    int8_mxu: bool,
+    skip_cand: bool,
 ):
     # grid = (row_blocks, vocab_tiles); vocab is the minor (fast) dim so the
     # output refs act as accumulators across the v sweep of each row block.
@@ -64,23 +66,40 @@ def _proj_kernel(
         s_out_ref[:] = jnp.zeros_like(s_out_ref)
         cand_out_ref[:] = jnp.zeros_like(cand_out_ref)
 
-    if quantized:
-        # int8 tile -> fp32 dequant (per-column scale) -> compute dtype
-        w = (w_ref[:].astype(jnp.float32) * scale_ref[0, :][None, :]).astype(
-            compute_dtype
-        )
+    if quantized and int8_mxu:
+        # NATIVE int8 MXU path (VERDICT r1 #3): weights stay int8 all the
+        # way to the systolic array (int8xint8 -> int32 runs at 2x the bf16
+        # rate on v5e and skips the per-tile VPU dequant pass).  Activations
+        # are quantized per ROW right here — absmax symmetric, recomputed
+        # per vocab tile (cheap VPU work, no extra HBM traffic) — and the
+        # int32 accumulator is rescaled by (row scale x column scale) fp32.
+        h = h_ref[:].astype(jnp.float32)
+        s_h = jnp.maximum(jnp.max(jnp.abs(h), axis=1, keepdims=True), 1e-30) / 127.0
+        h_q = jnp.round(h / s_h).astype(jnp.int8)
+        acc = jnp.dot(h_q, w_ref[:], preferred_element_type=jnp.int32)
+        logits = (
+            acc.astype(jnp.float32) * s_h * scale_ref[0, :][None, :]
+            + b_ref[0, :][None, :]
+        )  # [B, TV] fp32
     else:
-        # fp weights arrive pre-cast (bf16 in speed mode): no per-tile VPU
-        # dequant/convert work — the astype is a no-op when dtypes match.
-        w = w_ref[:].astype(compute_dtype)
-    logits = (
-        jnp.dot(
-            h_ref[:].astype(compute_dtype),
-            w,
-            preferred_element_type=jnp.float32,
-        )
-        + b_ref[0, :][None, :]
-    )  # [B, TV] fp32
+        if quantized:
+            # int8 tile -> fp32 dequant (per-column scale) -> compute dtype
+            w = (w_ref[:].astype(jnp.float32) * scale_ref[0, :][None, :]).astype(
+                compute_dtype
+            )
+        else:
+            # fp weights arrive pre-cast (bf16 in speed mode): no per-tile
+            # VPU dequant/convert work — the astype is a no-op when dtypes
+            # match.
+            w = w_ref[:].astype(compute_dtype)
+        logits = (
+            jnp.dot(
+                h_ref[:].astype(compute_dtype),
+                w,
+                preferred_element_type=jnp.float32,
+            )
+            + b_ref[0, :][None, :]
+        )  # [B, TV] fp32
 
     # online logsumexp over vocab tiles
     m_old = m_out_ref[:, :1]
@@ -90,12 +109,15 @@ def _proj_kernel(
     )
     m_out_ref[:, :1] = m_new
 
-    # candidate extraction: one-hot [TV, C] matmul on the MXU
-    col = jax.lax.broadcasted_iota(
-        jnp.int32, (tile_v, cand_out_ref.shape[1]), 0
-    )
-    onehot = (col + v * tile_v == cand_ref[0, :][None, :]).astype(jnp.float32)
-    cand_out_ref[:] += jnp.dot(logits, onehot, preferred_element_type=jnp.float32)
+    # candidate extraction: one-hot [TV, C] matmul on the MXU.  The
+    # lse-only call sites (all candidate ids -1) skip it statically — at
+    # decode dims it's ~4% of kernel FLOPs spent multiplying by zeros.
+    if not skip_cand:
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_v, cand_out_ref.shape[1]), 0
+        )
+        onehot = (col + v * tile_v == cand_ref[0, :][None, :]).astype(jnp.float32)
+        cand_out_ref[:] += jnp.dot(logits, onehot, preferred_element_type=jnp.float32)
 
 
 def _project_block(
@@ -109,6 +131,8 @@ def _project_block(
     compute_dtype,
     interpret: bool,
     tile_r: Optional[int] = None,
+    int8_mxu: bool = False,
+    skip_cand: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One frequency block → raw (cand [B,C], m [B,1], s [B,1]).
 
@@ -172,7 +196,9 @@ def _project_block(
 
     cand, m, s = pl.pallas_call(
         functools.partial(_proj_kernel, tile_v=tv, compute_dtype=compute_dtype,
-                          quantized=quantized),
+                          quantized=quantized,
+                          int8_mxu=int8_mxu and quantized,
+                          skip_cand=skip_cand),
         grid=(B_pad // tr, S_pad // tv),
         in_specs=[
             pl.BlockSpec((1, C), lambda r, v: (0, 0), memory_space=pltpu.VMEM),
@@ -219,6 +245,7 @@ def project_candidates(
     tile_v: int = 2048,
     compute_dtype=jnp.float32,
     interpret: bool = False,
+    int8_mxu: bool = False,
 ) -> jnp.ndarray:
     """Candidate log-probs ``[B, C]`` = ``log softmax(h @ W + b)[:, cand]``."""
     B, _ = h.shape
@@ -231,6 +258,7 @@ def project_candidates(
     raw, m, s = _project_block(
         h, weight, scale, bias, cand,
         tile_v=tile_v, compute_dtype=compute_dtype, interpret=interpret,
+        int8_mxu=int8_mxu,
     )
     logp = raw - (m + jnp.log(s))
     return logp[:B, :C]
@@ -245,6 +273,7 @@ def project_candidates_dsoftmax(
     tile_v: int = 2048,
     compute_dtype=jnp.float32,
     interpret: bool = False,
+    int8_mxu: bool = False,
 ) -> jnp.ndarray:
     """D-softmax candidate log-probs: one kernel call per frequency block.
 
@@ -282,6 +311,7 @@ def project_candidates_dsoftmax(
         raw, m, s = _project_block(
             hs, w_arr, w_scale, blk["b"], local,
             tile_v=tile_v, compute_dtype=compute_dtype, interpret=interpret,
+            int8_mxu=int8_mxu,
         )
         cand_total = cand_total + raw  # raw is 0 where candidate not in block
         ms.append(m)
@@ -302,6 +332,7 @@ def project_lse(
     tile_v: int = 2048,
     compute_dtype=jnp.float32,
     interpret: bool = False,
+    int8_mxu: bool = False,
 ) -> jnp.ndarray:
     """Per-row log-sum-exp of the full output projection: ``[R, 1]``.
 
@@ -324,6 +355,7 @@ def project_lse(
         _, m, s = _project_block(
             hs, w_arr, w_scale, b, no_cand,
             tile_v=tile_v, compute_dtype=compute_dtype, interpret=interpret,
+            int8_mxu=int8_mxu, skip_cand=True,
         )
         return m, s
 

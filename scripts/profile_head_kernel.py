@@ -96,30 +96,42 @@ def main():
     log(f"xla_matmul+lse bf16  {dt*1e3:7.2f} ms  {flops/dt/1e12:6.1f} TFLOP/s")
 
     # --- kernel sweep ------------------------------------------------------
-    for wname, w_arr, w_scale in (
-        ("bf16", Wbf, None),
-        ("int8", Wq, Ws),
-        ("fp32", W, None),
+    hbf = h.astype(jnp.bfloat16)
+    for wname, w_arr, w_scale, int8_mxu, h_in in (
+        ("bf16      ", Wbf, None, False, h),
+        ("bf16 h=bf ", Wbf, None, False, hbf),
+        ("int8 deq  ", Wq, Ws, False, h),
+        ("int8 MXU  ", Wq, Ws, True, h),
+        ("int8 MXU/b", Wq, Ws, True, hbf),
+        ("fp32      ", W, None, False, h),
     ):
         for tr in (512, 1024, 2048):
-            for tv in (1024, 2048, 4096):
-                # skip configs that blow VMEM (~double-buffered weight tile)
-                need = (2 * H * tv * w_arr.dtype.itemsize + tr * H * 4
-                        + tr * (3 * 128 + 128) * 4)
-                if need > 14 * 1024 * 1024:
+            for tv in (512, 1024, 2048):
+                # accurate working-set filter (mirrors _project_block's
+                # auto-sizer: double-buffered W tile + h row block + logits
+                # and one elementwise temp + double-buffered outputs)
+                need = (
+                    2 * H * tv * w_arr.dtype.itemsize
+                    + tr * H * h_in.dtype.itemsize
+                    + 2 * tr * tv * 4
+                    + 2 * tr * (128 + 256) * 4
+                )
+                if need > 13 * 1024 * 1024:
                     continue
 
                 @jax.jit
-                def run(h, w_arr=w_arr, w_scale=w_scale, tr=tr, tv=tv):
+                def run(h_in, w_arr=w_arr, w_scale=w_scale, tr=tr, tv=tv,
+                        int8_mxu=int8_mxu):
                     _, m, s = _project_block(
-                        h, w_arr, w_scale, b, cand,
+                        h_in, w_arr, w_scale, b, cand,
                         tile_v=tv, compute_dtype=jnp.bfloat16,
                         interpret=False, tile_r=tr,
+                        int8_mxu=int8_mxu, skip_cand=True,
                     )
                     return (m + jnp.log(s)).sum()
 
                 try:
-                    dt = timeit(run, h)
+                    dt = timeit(run, h_in)
                     log(f"kernel {wname} tr={tr:4d} tv={tv:4d} "
                         f"{dt*1e3:7.2f} ms  {flops/dt/1e12:6.1f} TFLOP/s")
                 except Exception as e:

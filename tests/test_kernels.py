@@ -49,6 +49,49 @@ def test_project_candidates_int8():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
 
+def test_project_candidates_int8_mxu_native():
+    """Native int8 MXU path: int8 activations x int8 weights -> int32,
+    rescaled fp32.  Activation quantization adds ~1/255 relative error per
+    element; with H=512 the accumulated logit error stays well under 0.05
+    for unit-scale activations (tolerance-tested, not exact — the exact
+    path is the dequant-to-fp32 default)."""
+    rng = np.random.default_rng(3)
+    B, H, V, C = 16, 512, 4096, 65
+    h = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    w_f = rng.normal(size=(H, V)).astype(np.float32) * 0.05
+    q = quantize_weight(w_f, axis=0)
+    b = jnp.asarray(rng.normal(size=(V,)).astype(np.float32) * 0.01)
+    cand = jnp.asarray(rng.integers(0, V, C).astype(np.int32))
+    out = project_candidates(
+        h, jnp.asarray(q["q"]), jnp.asarray(q["scale"]), b, cand,
+        tile_v=1024, interpret=True, int8_mxu=True,
+    )
+    ref = project_candidates_ref(
+        h, jnp.asarray(q["q"]), jnp.asarray(q["scale"]), b, cand
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.05)
+    # top-1 candidate must be stable under activation quantization here
+    np.testing.assert_array_equal(
+        np.argmax(np.asarray(out), axis=1), np.argmax(np.asarray(ref), axis=1)
+    )
+
+
+def test_project_lse_int8_mxu_matches_dequant():
+    from jlm_tpu.config import Config
+    from jlm_tpu.ops.project import project_lse
+
+    rng = np.random.default_rng(4)
+    B, H, V = 8, 256, 2048
+    cfg = Config(vocab_size=V, embed_size=64, hidden_size=H)
+    h = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    q = quantize_weight(rng.normal(size=(H, V)).astype(np.float32) * 0.05, axis=0)
+    head = {"W": {"q": jnp.asarray(q["q"]), "scale": jnp.asarray(q["scale"])},
+            "b": jnp.zeros((V,), jnp.float32)}
+    lse_n = project_lse(h, head, cfg, tile_v=512, interpret=True, int8_mxu=True)
+    lse_d = project_lse(h, head, cfg, tile_v=512, interpret=True)
+    np.testing.assert_allclose(np.asarray(lse_n), np.asarray(lse_d), atol=0.05)
+
+
 def test_project_candidates_unaligned_vocab():
     """V not a multiple of the tile: padded columns must not leak into lse."""
     rng = np.random.default_rng(2)
