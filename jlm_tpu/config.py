@@ -67,6 +67,12 @@ class Config:
 
     # --- quantization (SURVEY.md §4.3) ---
     quantize: bool = False  # int8 symmetric per-column weights + fp32 scale
+    # Native int8 MXU decode head: int8 weights feed the systolic array
+    # directly (int8xint8 -> int32 at 2x the bf16 rate on v5e) with per-row
+    # activation quantization in-kernel.  Scores gain ~1e-2-scale activation
+    # quantization error vs the exact dequant path (which remains the
+    # default and the parity reference).
+    int8_mxu: bool = False
 
     # --- decoding (SURVEY.md §4.5-4.7) ---
     beam_width: int = 10

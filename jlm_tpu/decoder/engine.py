@@ -155,6 +155,7 @@ def make_pallas_forward(
     compute_dtype=None,
     interpret: Optional[bool] = None,
     tile_v: int = 2048,
+    int8_mxu: Optional[bool] = None,
 ) -> ForwardFn:
     """Batched ForwardFn using the Pallas projection kernel for the head.
 
@@ -172,6 +173,15 @@ def make_pallas_forward(
         interpret = jax.default_backend() != "tpu"
     if compute_dtype is None:
         compute_dtype = jnp.float32
+    if int8_mxu is None:
+        int8_mxu = config.int8_mxu
+    # measured-best tiles at the decode hot shape [2048,512]x[512,50k]
+    # (scripts/profile_head_kernel.py): int8-MXU runs fastest at
+    # (tr=512, tv=2048) — 0.41 ms = 256 TFLOP/s-equivalent on v5e; the
+    # auto-sizer's conservative budget would pick smaller tiles.
+    tile_r = 512 if int8_mxu else None
+    if int8_mxu:
+        tile_v = 2048
     # fp32 compute is the parity mode: keep every matmul at "highest".
     precision = "highest" if compute_dtype == jnp.float32 else "default"
 
@@ -197,6 +207,7 @@ def make_pallas_forward(
         lse = project_lse(
             h_top, params["_decode"]["head_c"], config,
             tile_v=tile_v, compute_dtype=compute_dtype, interpret=interpret,
+            int8_mxu=int8_mxu, tile_r=tile_r,
         )  # [S*B, 1]
         h3 = h_top.reshape(S, B, -1)
         raw = (
@@ -371,8 +382,21 @@ def _decode_scan(
     def cache_to_state(g):  # [S, B, L, H] -> [L, S*B, H]
         return jnp.moveaxis(g, 2, 0).reshape(L, S * B, H)
 
-    c_cache = jnp.zeros((S, R, B, L, H)).at[:, 0].set(state_to_cache(c1))
-    h_cache = jnp.zeros((S, R, B, L, H)).at[:, 0].set(state_to_cache(h1))
+    # Speed mode stores the state ring buffers in bf16: they are the scan's
+    # largest carries ([S, R, B, L, H] x2 — 64 MB each at flagship dims) and
+    # feed matmuls that already run bf16; halving their HBM traffic cuts the
+    # scan-framework overhead.  Parity mode (fp32 forwards) keeps fp32.
+    cache_dtype = (
+        jnp.bfloat16
+        if getattr(forward_fn, "compute_dtype", None) == jnp.bfloat16
+        else jnp.float32
+    )
+    c_cache = jnp.zeros((S, R, B, L, H), cache_dtype).at[:, 0].set(
+        state_to_cache(c1).astype(cache_dtype)
+    )
+    h_cache = jnp.zeros((S, R, B, L, H), cache_dtype).at[:, 0].set(
+        state_to_cache(h1).astype(cache_dtype)
+    )
     final = jnp.full((S, B), NEG)
 
     def step(carry, xs):
@@ -420,7 +444,11 @@ def _decode_scan(
 
         # One batched LM forward over all S·B beam rows.
         cand_new, eos_new, (c_new, h_new) = forward_fn(
-            params, new_words, (cache_to_state(csel), cache_to_state(hsel)),
+            params, new_words,
+            (
+                cache_to_state(csel).astype(jnp.float32),
+                cache_to_state(hsel).astype(jnp.float32),
+            ),
             payload_t,
         )
         cand_new = jnp.where(look_m_t[:, None, :], cand_new, NEG)
@@ -436,8 +464,12 @@ def _decode_scan(
         ring_w = pos & (R - 1)
         score = score.at[:, ring_w].set(top_scores)
         cand_cache = cand_cache.at[:, ring_w].set(cand_new)
-        c_cache = c_cache.at[:, ring_w].set(state_to_cache(c_new))
-        h_cache = h_cache.at[:, ring_w].set(state_to_cache(h_new))
+        c_cache = c_cache.at[:, ring_w].set(
+            state_to_cache(c_new).astype(cache_dtype)
+        )
+        h_cache = h_cache.at[:, ring_w].set(
+            state_to_cache(h_new).astype(cache_dtype)
+        )
         carry_out = (score, cand_cache, c_cache, h_cache, final)
         if chain:
             carry_out = carry_out + (new_words,)
@@ -519,8 +551,8 @@ def _decode_scan(
         out["chain"] = {
             "words": last_words,
             "score": score[:, ring_T],
-            "c": cache_to_state(c_cache[:, ring_T]),
-            "h": cache_to_state(h_cache[:, ring_T]),
+            "c": cache_to_state(c_cache[:, ring_T]).astype(jnp.float32),
+            "h": cache_to_state(h_cache[:, ring_T]).astype(jnp.float32),
         }
         out["root_beam"] = root_beam  # [S, B]
     return out

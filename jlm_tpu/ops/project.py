@@ -246,6 +246,7 @@ def project_candidates(
     compute_dtype=jnp.float32,
     interpret: bool = False,
     int8_mxu: bool = False,
+    tile_r: Optional[int] = None,
 ) -> jnp.ndarray:
     """Candidate log-probs ``[B, C]`` = ``log softmax(h @ W + b)[:, cand]``."""
     B, _ = h.shape
@@ -258,7 +259,7 @@ def project_candidates(
     raw, m, s = _project_block(
         h, weight, scale, bias, cand,
         tile_v=tile_v, compute_dtype=compute_dtype, interpret=interpret,
-        int8_mxu=int8_mxu,
+        int8_mxu=int8_mxu, tile_r=tile_r,
     )
     logp = raw - (m + jnp.log(s))
     return logp[:B, :C]
@@ -333,6 +334,7 @@ def project_lse(
     compute_dtype=jnp.float32,
     interpret: bool = False,
     int8_mxu: bool = False,
+    tile_r: Optional[int] = None,
 ) -> jnp.ndarray:
     """Per-row log-sum-exp of the full output projection: ``[R, 1]``.
 
@@ -355,7 +357,7 @@ def project_lse(
         _, m, s = _project_block(
             hs, w_arr, w_scale, b, no_cand,
             tile_v=tile_v, compute_dtype=compute_dtype, interpret=interpret,
-            int8_mxu=int8_mxu, skip_cand=True,
+            int8_mxu=int8_mxu, skip_cand=True, tile_r=tile_r,
         )
         return m, s
 

@@ -1,46 +1,18 @@
 #!/usr/bin/env python
-"""Exact Bayes-optimal top-1 ceiling of the synthetic conversion task.
+"""Report the synthetic task's exact Bayes-optimal top-1 ceiling.
 
-VERDICT r1 (missing #4) asked whether the trained flagship's ~0.47 top-1
-conversion accuracy is undertraining or the corpus's intrinsic ceiling.
-The synthetic generator (jlm_tpu/data/synthetic.py) is fully known:
-
-  P(sentence) = P(template) * prod_slots P(word | slot pool)
-
-with P(template) uniform over the 6 templates and the per-pool word choice
-``idx = int(n * r**2.2)`` for r ~ U[0,1), i.e.
-
-  P(idx = k) = ((k+1)/n)**(1/2.2) - (k/n)**(1/2.2)   (k < n-1; the last
-  index also absorbs the measure-zero r=1 tail).
-
-Word choices are INDEPENDENT of context given the slot, so homophone
-resolution carries no contextual signal by construction — the Bayes
-decoder maps each kana string to the display maximizing the exact
-posterior, enumerated by DP over (template, slot, kana position).  No
-model, however well trained, can beat that number in expectation; it is
-the task's top-1 ceiling.
+See :mod:`jlm_tpu.eval.ceiling` for the math.  VERDICT r1 (missing #4)
+asked whether the trained flagship's ~0.47 top-1 is undertraining or the
+corpus's intrinsic ceiling: word choices are context-free given the slot
+by construction, so no LM can beat the MAP decoder of the true posterior.
 
 Usage: python scripts/quality_ceiling.py [--n 200] [--seed 777]
 """
 
-from __future__ import annotations
-
 import argparse
-from collections import defaultdict
-from functools import lru_cache
 
-from jlm_tpu.data.synthetic import _TEMPLATES, generate_test_set
-
-
-def pool_logistics(pool):
-    """reading -> [(display, prob)] for one POS pool under the zipf rule."""
-    n = len(pool)
-    inv = 1.0 / 2.2
-    by_reading = defaultdict(list)
-    for k, (display, reading, _pos) in enumerate(pool):
-        p = ((k + 1) / n) ** inv - (k / n) ** inv
-        by_reading[reading].append((display, p))
-    return by_reading
+from jlm_tpu.data.synthetic import generate_test_set
+from jlm_tpu.eval.ceiling import bayes_ceiling
 
 
 def main(argv=None):
@@ -48,62 +20,14 @@ def main(argv=None):
     ap.add_argument("--n", type=int, default=200)
     ap.add_argument("--seed", type=int, default=777)
     args = ap.parse_args(argv)
-
-    pools = {}  # id(pool) -> reading map
-
-    def rmap(pool):
-        key = id(pool)
-        if key not in pools:
-            pools[key] = pool_logistics(pool)
-        return pools[key]
-
-    def posteriors(kana: str):
-        """All (display, prob) consistent with the kana string, unnormalized."""
-        out = defaultdict(float)
-        for tpl in _TEMPLATES:
-            n_slots = len(tpl)
-
-            @lru_cache(maxsize=None)
-            def ways(pos: int, slot: int):
-                # -> [(display_suffix, prob)] completing kana[pos:] from slot
-                if slot == n_slots:
-                    return [("", 1.0)] if pos == len(kana) else []
-                res = []
-                rm = rmap(tpl[slot])
-                for wlen in range(1, len(kana) - pos + 1):
-                    seg = kana[pos : pos + wlen]
-                    if seg not in rm:
-                        continue
-                    tails = ways(pos + wlen, slot + 1)
-                    if not tails:
-                        continue
-                    for display, p in rm[seg]:
-                        for tail, tp in tails:
-                            res.append((display + tail, p * tp))
-                return res
-
-            for display, p in ways(0, 0):
-                out[display] += p / len(_TEMPLATES)
-            ways.cache_clear()
-        return out
-
     tests = generate_test_set(args.n, seed=args.seed)
-    hits = 0
-    gold_mass = 0.0
-    ambiguous = 0
-    for kana, gold in tests:
-        post = posteriors(kana)
-        total = sum(post.values())
-        best = max(post.items(), key=lambda kv: kv[1])[0]
-        hits += best == gold
-        gold_mass += post.get(gold, 0.0) / total
-        ambiguous += len(post) > 1
-    n = len(tests)
-    print(f"test sentences: {n} (seed {args.seed})")
-    print(f"ambiguous kana strings (multiple consistent surfaces): "
-          f"{ambiguous}/{n}")
-    print(f"Bayes-optimal top-1 accuracy (the task ceiling): {hits / n:.3f}")
-    print(f"mean posterior mass of the gold surface:        {gold_mass / n:.3f}")
+    r = bayes_ceiling(tests)
+    print(f"test sentences: {len(tests)} (seed {args.seed})")
+    print(f"ambiguous kana strings: {r['ambiguous_frac']:.3f}")
+    print(f"Bayes-optimal top-1 accuracy (the task ceiling): "
+          f"{r['top1_ceiling']:.3f}")
+    print(f"mean posterior mass of the gold surface:        "
+          f"{r['gold_posterior_mass']:.3f}")
     print("A perfectly-trained LM can at best match the ceiling; compare "
           "scripts/eval_conversion.py on the trained checkpoint.")
 

@@ -53,6 +53,11 @@ def main(argv=None):
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize LSTM activations in backprop "
                          "(fit longer BPTT windows / larger batches)")
+    ap.add_argument("--model-vocab", type=int, default=0,
+                    help="force the model's (padded) vocab size above the "
+                         "data vocab — BASELINE config 5 trains a 100k head "
+                         "even when the corpus lexicon is smaller; extra ids "
+                         "are dead classes (never targets)")
     ap.add_argument("--resume", action="store_true",
                     help="continue from the latest checkpoint in --exp")
     args = ap.parse_args(argv)
@@ -60,7 +65,8 @@ def main(argv=None):
     vocab, train, dev, _ = load_dataset(args.data)
     # Pad the model vocab so each vocab shard is equal-sized; padded ids
     # are dead classes (never appear as targets or lattice candidates).
-    v_model = pad_vocab_size(len(vocab), args.mesh_vocab)
+    v_model = pad_vocab_size(max(len(vocab), args.model_vocab),
+                             args.mesh_vocab)
     cfg = Config(
         vocab_size=v_model,
         embed_size=args.embed_size,

@@ -134,6 +134,39 @@ def test_pallas_forward_int8_parity(tiny_params, tiny_config, lexicon, vocab):
     assert abs(r_e.score - r_o.score) < 1e-3
 
 
+def test_pallas_forward_bf16_speed_mode_top1(tiny_params, tiny_config, lexicon, vocab, oracle):
+    """bf16 speed mode (bf16 matmuls + bf16 state ring caches): top-1 must
+    still match the oracle at tiny dims; scores within bf16 tolerance."""
+    import jax.numpy as jnp
+
+    from jlm_tpu.decoder.engine import make_pallas_forward
+
+    fwd = make_pallas_forward(tiny_config, compute_dtype=jnp.bfloat16,
+                              tile_v=128)
+    eng = BeamDecoder(tiny_params, lexicon, vocab, tiny_config, forward_fn=fwd)
+    for kana in ["きょうはいい", "あめがふる"]:
+        r_e, r_o = eng.decode(kana)[0], oracle.decode(kana)[0]
+        assert r_e.segments == r_o.segments, kana
+        assert abs(r_e.score - r_o.score) < 0.1
+
+
+def test_pallas_forward_int8_mxu_top1(tiny_params, tiny_config, lexicon, vocab):
+    """Native int8-MXU head (int8 activations too): top-1 stable vs the
+    exact-dequant int8 oracle at tiny dims."""
+    import jax.numpy as jnp
+
+    from jlm_tpu.decoder.engine import make_pallas_forward
+
+    qp = quantize_params(tiny_params)
+    fwd = make_pallas_forward(tiny_config, compute_dtype=jnp.bfloat16,
+                              tile_v=128, int8_mxu=True)
+    eng = BeamDecoder(qp, lexicon, vocab, tiny_config, forward_fn=fwd)
+    orc = OracleDecoder(OracleLM(qp, tiny_config), lexicon, vocab, tiny_config)
+    r_e, r_o = eng.decode("かみとかわ")[0], orc.decode("かみとかわ")[0]
+    assert r_e.segments == r_o.segments
+    assert abs(r_e.score - r_o.score) < 0.2
+
+
 def test_two_layer_engine_parity(lexicon, vocab):
     """BASELINE config 5 model shape (2-layer) decodes with oracle parity."""
     cfg = Config(
