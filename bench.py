@@ -92,14 +92,16 @@ def main():
     # throughput is device-limited, not round-trip-limited (the tunneled
     # host link costs ~30 ms per fetch, comparable to a whole device scan).
     engine = BeamDecoder(params, lexicon, vocab, config, precision="default")
-    stream = (kanas * 3)[:128]
+    # 512-lattice chunks: the tunneled host link costs ~30 ms per result
+    # fetch — at 128-lattice chunks that was ~half of steady-state time.
+    stream = (kanas * 11)[:512]
     stream_chars = sum(len(k) for k in stream)
     t0 = time.time()
     results = engine.decode_batch(stream, n_best=1)
     log(f"tpu compile+first run: {time.time() - t0:.1f}s")
-    reps = 8
+    reps = 6
     t0 = time.time()
-    results = engine.decode_stream(stream * reps, chunk_size=128, n_best=1)
+    results = engine.decode_stream(stream * reps, chunk_size=512, n_best=1)
     tpu_dt = (time.time() - t0) / reps
     value = stream_chars / tpu_dt
     log(f"tpu (beam-10 streaming, {reps}x{len(stream)} lattices): "
@@ -109,7 +111,7 @@ def main():
 
     # --- MFU accounting (BASELINE north star: kernels at speed-of-light) --
     B = config.beam_pad
-    S, H, E, V = 128, config.hidden_size, config.embed_size, config.vocab_size
+    S, H, E, V = 512, config.hidden_size, config.embed_size, config.vocab_size
     t_bucket = 16  # the stream's bucketed frame count
     lstm_fl = 2 * S * B * (E + H) * 4 * H
     head_fl = 2 * S * B * H * V

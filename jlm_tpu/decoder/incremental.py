@@ -273,11 +273,60 @@ class IncrementalDecoder:
         self._h = jnp.zeros((T1, L, B, H)).at[0].set(h)
         self._htop = jnp.zeros((T1, B, H)).at[0].set(h_top)
         self.kana = ""
+        # window bookkeeping: positions are relative to self._base (the
+        # number of kana already committed by window rolls; see _roll)
+        self._base = 0
+        self._committed: List[List[Tuple[str, int]]] = [
+            [] for _ in range(cfg.beam_pad)
+        ]
         self._frames: List[List[Node]] = [[]]  # frames[j] = nodes ending at j
         self._bp: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = [None]
         self._finals: List[Optional[np.ndarray]] = [None]
         self._spec = {}
         self._speculate_next()
+
+    def _walk(self, pos: int, beam: int) -> Tuple[List[Tuple[str, int]], int]:
+        """Backtrack beam ``beam`` from window position ``pos`` to the root;
+        returns (segments, root beam slot)."""
+        segs: List[Tuple[str, int]] = []
+        bi = beam
+        while pos > 0:
+            src, selp, seln = self._bp[pos]
+            node = self._frames[pos][int(seln[bi])]
+            segs.append((node.display, node.word_id))
+            pos, bi = int(src[bi]), int(selp[bi])
+        segs.reverse()
+        return segs, bi
+
+    def _roll(self) -> None:
+        """Commit the current window and continue typing past the bound.
+
+        The cache row at the window end becomes the new root row (scores
+        WITHOUT <eos>, states, logsumexp — exactly decode_long's chaining,
+        SURVEY.md §4.5 note on the forced boundary), and each beam's window
+        segments append to its committed history.  O(1) device work; the
+        session can now run indefinitely.  ``pop()`` cannot cross a roll
+        boundary (the committed window's frames are released).
+        """
+        T_w = len(self.kana) - self._base
+        B = self.config.beam_pad
+        new_committed = []
+        for b in range(B):
+            segs, rb = self._walk(T_w, b)
+            new_committed.append(self._committed[rb] + segs)
+        self._committed = new_committed
+        row = jnp.int32(T_w)
+        self._score = self._score.at[0].set(self._score[row])
+        self._lse = self._lse.at[0].set(self._lse[row])
+        self._eos = self._eos.at[0].set(self._eos[row])
+        self._c = self._c.at[0].set(self._c[row])
+        self._h = self._h.at[0].set(self._h[row])
+        self._htop = self._htop.at[0].set(self._htop[row])
+        self._base += T_w
+        self._frames = [[]]
+        self._bp = [None]
+        self._finals = [None]
+        self._spec = {}
 
     def _frame_nodes(self, pos: int, kana: Optional[str] = None) -> List[Node]:
         """Nodes ending at ``pos`` for a kana prefix (default: current).
@@ -287,7 +336,7 @@ class IncrementalDecoder:
         results are tie-for-tie identical to batch decoding.
         """
         cfg = self.config
-        kana = self.kana if kana is None else kana
+        kana = self.kana[self._base:] if kana is None else kana
         M = min(cfg.max_word_len, self.lexicon.max_reading_len)
         nodes: List[Node] = []
         for start in range(max(0, pos - M), pos):
@@ -317,7 +366,7 @@ class IncrementalDecoder:
         self._spec = {}
         if self.speculate <= 0:
             return
-        pos = len(self.kana) + 1
+        pos = len(self.kana) - self._base + 1
         if pos > self.config.max_kana_len:
             return
         chars = list(self._predict_next(self.kana))[: self.speculate]
@@ -325,7 +374,7 @@ class IncrementalDecoder:
             return
         per_char = []
         for ch in chars:
-            nodes = self._frame_nodes(pos, self.kana + ch)
+            nodes = self._frame_nodes(pos, self.kana[self._base:] + ch)
             per_char.append((ch, nodes, self._nodes_tensor(nodes)))
         nw = np.stack([t[2][0] for t in per_char])
         ns = np.stack([t[2][1] for t in per_char])
@@ -346,8 +395,9 @@ class IncrementalDecoder:
     def push(self, kana_char: str, n_best: int = 1) -> List[DecodeResult]:
         assert len(kana_char) == 1, "push one kana at a time"
         cfg = self.config
-        pos = len(self.kana) + 1
-        assert pos <= cfg.max_kana_len, "input exceeds max_kana_len"
+        if len(self.kana) - self._base >= cfg.max_kana_len:
+            self._roll()  # commit the full window, keep typing (was: assert)
+        pos = len(self.kana) - self._base + 1
         self.kana += kana_char
 
         hit = self._spec.pop(kana_char, None)
@@ -383,8 +433,16 @@ class IncrementalDecoder:
         return res
 
     def pop(self) -> None:
-        """Backspace: drop the last kana; cached prefix stays valid."""
+        """Backspace: drop the last kana; cached prefix stays valid.
+
+        Cannot cross a window-roll boundary: the committed window's frames
+        are released at roll time (an IME would have committed that text).
+        """
         assert self.kana, "nothing to pop"
+        if len(self.kana) <= self._base:
+            raise ValueError(
+                "cannot backspace across a committed window boundary"
+            )
         self.kana = self.kana[:-1]
         self._spec = {}  # speculation was for the longer prefix
         self._speculate_next()
@@ -403,13 +461,15 @@ class IncrementalDecoder:
             "h": np.asarray(self._h),
             "htop": np.asarray(self._htop),
         }
-        T = len(self.kana)
+        T = len(self.kana) - self._base
         for pos in range(1, T + 1):
             src, selp, seln = self._bp[pos]
             arrays[f"bp{pos}"] = np.stack([src, selp, seln])
             arrays[f"fin{pos}"] = self._finals[pos]
         meta = {
             "kana": self.kana,
+            "base": self._base,
+            "committed": self._committed,
             "frames": [
                 [(n.word_id, n.start, n.end, n.display) for n in fr]
                 for fr in self._frames[: T + 1]
@@ -425,6 +485,13 @@ class IncrementalDecoder:
         with np.load(path) as z:
             meta = json.loads(bytes(z["meta"]).decode())
             self.kana = meta["kana"]
+            self._base = meta.get("base", 0)
+            self._committed = [
+                [tuple(seg) for seg in beam]
+                for beam in meta.get(
+                    "committed", [[] for _ in range(self.config.beam_pad)]
+                )
+            ]
             self._frames = [
                 [Node(w, s, e, d) for (w, s, e, d) in fr]
                 for fr in meta["frames"]
@@ -435,7 +502,7 @@ class IncrementalDecoder:
             self._c = jnp.asarray(z["c"])
             self._h = jnp.asarray(z["h"])
             self._htop = jnp.asarray(z["htop"])
-            T = len(self.kana)
+            T = len(self.kana) - self._base
             self._bp = [None] * (T + 1)
             self._finals = [None] * (T + 1)
             for pos in range(1, T + 1):
@@ -446,7 +513,7 @@ class IncrementalDecoder:
         self._speculate_next()
 
     def results(self, n_best: int = 1) -> List[DecodeResult]:
-        T = len(self.kana)
+        T = len(self.kana) - self._base
         if T == 0:
             return []
         finals = self._finals[T]
@@ -455,14 +522,8 @@ class IncrementalDecoder:
         for b in order:
             if finals[b] <= -1e29:
                 continue
-            segs: List[Tuple[str, int]] = []
-            pos, bi = T, int(b)
-            while pos > 0:
-                src, selp, seln = self._bp[pos]
-                node = self._frames[pos][int(seln[bi])]
-                segs.append((node.display, node.word_id))
-                pos, bi = int(src[bi]), int(selp[bi])
-            segs.reverse()
+            segs, root = self._walk(T, int(b))
+            segs = self._committed[root] + segs
             out.append(
                 DecodeResult(
                     surface="".join(d for d, _ in segs),

@@ -52,8 +52,17 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _divisor_tiles(n: int, cap: int):
-    """Divisors of n, descending, capped — candidate tile sizes."""
-    return [d for d in range(min(n, cap), 0, -1) if n % d == 0]
+    """Divisors of n, descending, capped — candidate tile sizes.
+
+    Mosaic requires each block's last two dims to be divisible by (8, 128)
+    or equal the array dim, and both the batch and time tiles appear as a
+    second-to-last block dim somewhere ([bb, H] edge blocks / [bb, tb, E]
+    sequence blocks), so only multiples of 8 — or the full dim — qualify.
+    """
+    return [
+        d for d in range(min(n, cap), 0, -1)
+        if n % d == 0 and (d % 8 == 0 or d == n)
+    ]
 
 
 def _auto_tiles(B, T, E, H, w_itemsize, slot_bytes, time_block):

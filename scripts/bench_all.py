@@ -229,7 +229,7 @@ def main(argv=None):
                     "means corpus-limited, not undertrained",
         }
         log(f"config5 trained: top1 {rep_t.sentence_accuracy:.3f} vs Bayes ceiling "
-            f"{ceil['top1_ceiling']:.3f}, char {rep_t.char_acc:.3f}")
+            f"{ceil['top1_ceiling']:.3f}, char {rep_t.char_accuracy:.3f}")
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)

@@ -37,6 +37,12 @@ def log(*a):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    args = ap.parse_args()
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -68,7 +74,7 @@ def main():
     params = dict(jax.tree.map(jnp.asarray, init_params(config)))
     params["_decode"] = build_decode_head(params, config, jnp.bfloat16)
     kanas = [k for k, _ in generate_test_set(50, seed=777)]
-    stream = (kanas * 3)[:128]
+    stream = (kanas * ((args.batch + 49) // 50))[: args.batch]
 
     lattices = [build_lattice(k, lexicon, vocab, config) for k in stream]
     packed, lengths = pack_lattice_batch(lattices)
