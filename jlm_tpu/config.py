@@ -99,6 +99,10 @@ class Config:
     epochs: int = 8
     sampled_softmax_samples: int = 0  # >0 => sampled-softmax training loss
     use_pallas_scan: bool = False  # fused Pallas time-block LSTM scan in training
+    # Fused softmax-CE training loss (ops/softmax_ce.py): logits never
+    # materialize in HBM ([B*T, V] is 400-800 MB/step at flagship dims).
+    # Full head, fp weights only; exact grads via custom VJP.
+    fused_ce: bool = False
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # "bfloat16" => mixed-precision forward
     grad_accum_steps: int = 1  # microbatches accumulated per optimizer update

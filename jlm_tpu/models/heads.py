@@ -29,8 +29,34 @@ def full_softmax_loss(
     targets: jnp.ndarray,  # [B, T]
     precision: str = "default",
 ) -> jnp.ndarray:
-    """Mean token NLL with the full (or D-softmax) projection."""
+    """Mean token NLL with the full (or D-softmax) projection.
+
+    With ``config.fused_ce`` (full head, fp weights) the loss runs through
+    the Pallas fused-CE kernel: tile-wise online logsumexp + in-tile target
+    extraction, logits never leaving VMEM (ops/softmax_ce.py), exact grads.
+    """
     B, T, H = hs.shape
+    head = params["head"]
+    if (
+        config.fused_ce
+        and "W" in head
+        and not isinstance(head["W"], dict)
+    ):
+        import jax
+
+        from jlm_tpu.ops.softmax_ce import ce_loss_fused
+
+        cd = jnp.float32 if precision == "highest" else jnp.bfloat16
+        loss = ce_loss_fused(
+            hs.reshape(B * T, H),
+            head["W"],
+            head["b"],
+            targets.reshape(B * T),
+            2048,
+            cd,
+            jax.default_backend() != "tpu",
+        )
+        return loss.mean()
     logits = head_logits(params, config, hs.reshape(B * T, H), precision)
     logp = log_softmax(logits)
     nll = -jnp.take_along_axis(

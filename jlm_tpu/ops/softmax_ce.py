@@ -1,0 +1,350 @@
+"""Pallas TPU kernel: fused softmax cross-entropy over a huge vocabulary.
+
+Training-side sibling of :mod:`jlm_tpu.ops.project` (SURVEY.md §3.2 kernel
+#2).  XLA's full-CE loss materializes the ``[B·T, V]`` logits in HBM twice
+(forward write, backward read) — 400 MB at B·T=2048, V=50k fp32 and
+800 MB at the config-5 100k head — which caps batch size and burns HBM
+bandwidth.  This kernel keeps logits in VMEM tiles end to end:
+
+- forward: grid (row blocks, vocab tiles), online logsumexp in the output
+  accumulators + the target logit extracted in-tile by an iota==target
+  mask; ``loss = lse - logit_target``.
+- backward: recomputes tile logits from (h, W) — cheaper than 2x 400 MB
+  of HBM — in TWO kernels with opposite grid nesting, because each output
+  accumulates over a different grid axis and Pallas output blocks may only
+  be revisited on consecutive grid steps:
+    K1 (rows outer, vocab minor):  dh = (g·p) @ Wᵀ  accumulated in VMEM
+       scratch across the vocab sweep (p = softmax from the saved lse);
+    K2 (vocab outer, rows minor):  dW[:, tile] = hᵀ @ (g·p),
+       db[tile] = Σ_rows (g·p), accumulated across the row sweep in the
+       resident output block.
+  The onehot(target) correction folds into g·p in both kernels.
+
+Supports fp32/bf16 weights and int8 quant dicts (in-kernel dequant), same
+as the decode projection.  Exact-math custom VJP; grads tolerance-tested
+against the jnp reference in tests/test_kernels.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pick_tiles(B, D, V, w_itemsize, tile_v):
+    """(tile_r, tile_v) under the scoped-VMEM budget (logits tile included)."""
+    budget = 12 * 1024 * 1024
+    best = (256, min(tile_v, _round_up(V, 128)))
+    for tv_try in (2048, 1024, 512, 256):
+        tvc = min(tv_try, _round_up(V, 128))
+        fixed = 2 * D * tvc * w_itemsize + 6 * tvc * 4
+        tr_try = 8
+        while tr_try < 2048:
+            trial = tr_try * 2
+            need = fixed + trial * (D * 4 + 2 * tvc * 4 + 6 * 128 * 4)
+            if need > budget:
+                break
+            tr_try = trial
+        if tr_try > best[0] or (tr_try == best[0] and tvc > best[1]):
+            best = (tr_try, tvc)
+    return best
+
+
+def _tile_logits(h_ref, w_ref, scale_ref, b_ref, compute_dtype, quantized):
+    if quantized:
+        w = (w_ref[:].astype(jnp.float32) * scale_ref[0, :][None, :]).astype(
+            compute_dtype
+        )
+    else:
+        w = w_ref[:].astype(compute_dtype)
+    return (
+        jnp.dot(h_ref[:].astype(compute_dtype), w,
+                preferred_element_type=jnp.float32)
+        + b_ref[0, :][None, :]
+    )
+
+
+def _ce_fwd_kernel(
+    y_ref,  # int32 [TR, 128] targets (col 0)
+    h_ref,  # fp [TR, D]
+    w_ref,  # [D, TV]
+    scale_ref,  # fp32 [1, TV]
+    b_ref,  # fp32 [1, TV]
+    m_out_ref,  # fp32 [TR, 128] running max (col 0)
+    s_out_ref,  # fp32 [TR, 128] running sumexp (col 0)
+    t_out_ref,  # fp32 [TR, 128] target logit (col 0)
+    *,
+    tile_v: int,
+    compute_dtype,
+    quantized: bool,
+):
+    v = pl.program_id(1)
+
+    @pl.when(v == 0)
+    def _init():
+        m_out_ref[:] = jnp.full_like(m_out_ref, -1e30)
+        s_out_ref[:] = jnp.zeros_like(s_out_ref)
+        t_out_ref[:] = jnp.zeros_like(t_out_ref)
+
+    logits = _tile_logits(h_ref, w_ref, scale_ref, b_ref, compute_dtype,
+                          quantized)
+    m_old = m_out_ref[:, :1]
+    m_new = jnp.maximum(m_old, jnp.max(logits, axis=1, keepdims=True))
+    s_out_ref[:, :1] = s_out_ref[:, :1] * jnp.exp(m_old - m_new) + jnp.sum(
+        jnp.exp(logits - m_new), axis=1, keepdims=True
+    )
+    m_out_ref[:, :1] = m_new
+
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + v * tile_v
+    hit = col == y_ref[:, :1]
+    t_out_ref[:, :1] += jnp.sum(jnp.where(hit, logits, 0.0), axis=1,
+                                keepdims=True)
+
+
+def _ce_bwd_dh_kernel(
+    y_ref, g_ref, lse_ref,  # [TR, 128] (col 0)
+    h_ref,  # [TR, D]
+    w_ref, scale_ref, b_ref,
+    dh_out_ref,  # fp32 [TR, D]
+    *,
+    tile_v: int,
+    compute_dtype,
+    quantized: bool,
+):
+    # grid (row blocks, vocab tiles): dh accumulates across the vocab sweep
+    # in the resident output block (consecutive revisits only).
+    v = pl.program_id(1)
+
+    @pl.when(v == 0)
+    def _init():
+        dh_out_ref[:] = jnp.zeros_like(dh_out_ref)
+
+    logits = _tile_logits(h_ref, w_ref, scale_ref, b_ref, compute_dtype,
+                          quantized)
+    p = jnp.exp(logits - lse_ref[:, :1])
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + v * tile_v
+    gp = g_ref[:, :1] * (p - (col == y_ref[:, :1]).astype(jnp.float32))
+    if quantized:
+        w = (w_ref[:].astype(jnp.float32) * scale_ref[0, :][None, :]).astype(
+            compute_dtype
+        )
+    else:
+        w = w_ref[:].astype(compute_dtype)
+    dh_out_ref[:] += jax.lax.dot_general(
+        gp.astype(compute_dtype), w,
+        (((1,), (1,)), ((), ())),  # gp @ w^T
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _ce_bwd_dw_kernel(
+    y_ref, g_ref, lse_ref,  # [TR, 128] (col 0)
+    h_ref,  # [TR, D]
+    w_ref, scale_ref, b_ref,
+    dw_out_ref,  # fp32 [D, TV]
+    db_out_ref,  # fp32 [1, TV]
+    *,
+    tile_v: int,
+    compute_dtype,
+    quantized: bool,
+):
+    # grid (vocab tiles, row blocks): dW/db accumulate across the row sweep.
+    v, r = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _init():
+        dw_out_ref[:] = jnp.zeros_like(dw_out_ref)
+        db_out_ref[:] = jnp.zeros_like(db_out_ref)
+
+    logits = _tile_logits(h_ref, w_ref, scale_ref, b_ref, compute_dtype,
+                          quantized)
+    p = jnp.exp(logits - lse_ref[:, :1])
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + v * tile_v
+    gp = g_ref[:, :1] * (p - (col == y_ref[:, :1]).astype(jnp.float32))
+    dw_out_ref[:] += jax.lax.dot_general(
+        h_ref[:].astype(compute_dtype), gp.astype(compute_dtype),
+        (((0,), (0,)), ((), ())),  # h^T @ gp
+        preferred_element_type=jnp.float32,
+    )
+    db_out_ref[:] += jnp.sum(gp, axis=0, keepdims=True)
+
+
+def _prep(h, weight, scale, bias, targets, tile_v):
+    B, D = h.shape
+    V = weight.shape[1]
+    tr, tv = _pick_tiles(B, D, V, weight.dtype.itemsize, tile_v)
+    tr = min(tr, _round_up(B, 8))
+    V_pad = _round_up(V, tv)
+    B_pad = _round_up(B, tr)
+    if B_pad != B:
+        h = jnp.pad(h, ((0, B_pad - B), (0, 0)))
+        targets = jnp.pad(targets, (0, B_pad - B))
+    if V_pad != V:
+        weight = jnp.pad(weight, ((0, 0), (0, V_pad - V)))
+        bias = jnp.pad(bias, (0, V_pad - V), constant_values=-1e30)
+        if scale is not None:
+            scale = jnp.pad(scale, (0, V_pad - V))
+    quantized = scale is not None
+    if scale is None:
+        scale = jnp.ones((V_pad,), jnp.float32)
+    y2 = jnp.zeros((B_pad, 128), jnp.int32).at[:, 0].set(
+        targets.astype(jnp.int32)
+    )
+    return (h, weight, scale.reshape(1, -1).astype(jnp.float32),
+            bias.reshape(1, -1).astype(jnp.float32), y2, tr, tv, B_pad, V_pad,
+            quantized)
+
+
+def _ce_fwd_impl(h, weight, scale, bias, targets, *, tile_v, compute_dtype,
+                 interpret):
+    B = h.shape[0]
+    (hp, wp, sp, bp, y2, tr, tv, B_pad, V_pad, quantized) = _prep(
+        h, weight, scale, bias, targets, tile_v
+    )
+    D = hp.shape[1]
+    m, s, t = pl.pallas_call(
+        functools.partial(_ce_fwd_kernel, tile_v=tv,
+                          compute_dtype=compute_dtype, quantized=quantized),
+        grid=(B_pad // tr, V_pad // tv),
+        in_specs=[
+            pl.BlockSpec((tr, 128), lambda r, v: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, D), lambda r, v: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, tv), lambda r, v: (0, v), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tv), lambda r, v: (0, v), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tv), lambda r, v: (0, v), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tr, 128), lambda r, v: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, 128), lambda r, v: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, 128), lambda r, v: (r, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((B_pad, 128), jnp.float32) for _ in range(3)
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B_pad * D * V_pad,
+            bytes_accessed=(B_pad // tr) * D * V_pad * weight.dtype.itemsize
+            + B_pad * D * 4,
+            transcendentals=B_pad * V_pad,
+        ),
+        interpret=interpret,
+    )(y2, hp, wp, sp, bp)
+    lse = (m[:, :1] + jnp.log(s[:, :1]))[:B, 0]
+    loss = lse - t[:B, 0]
+    return loss, lse
+
+
+def _ce_bwd_impl(h, weight, scale, bias, targets, lse, g, *, tile_v,
+                 compute_dtype, interpret):
+    B = h.shape[0]
+    (hp, wp, sp, bp, y2, tr, tv, B_pad, V_pad, quantized) = _prep(
+        h, weight, scale, bias, targets, tile_v
+    )
+    D = hp.shape[1]
+    aux = jnp.zeros((B_pad, 128), jnp.float32)
+    g2 = aux.at[:B, 0].set(g)
+    lse2 = aux.at[:B, 0].set(lse)
+
+    dh = pl.pallas_call(
+        functools.partial(_ce_bwd_dh_kernel, tile_v=tv,
+                          compute_dtype=compute_dtype, quantized=quantized),
+        grid=(B_pad // tr, V_pad // tv),
+        in_specs=[
+            pl.BlockSpec((tr, 128), lambda r, v: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, 128), lambda r, v: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, 128), lambda r, v: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, D), lambda r, v: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, tv), lambda r, v: (0, v), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tv), lambda r, v: (0, v), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tv), lambda r, v: (0, v), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tr, D), lambda r, v: (r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B_pad, D), jnp.float32),
+        interpret=interpret,
+    )(y2, g2, lse2, hp, wp, sp, bp)
+
+    dw, db = pl.pallas_call(
+        functools.partial(_ce_bwd_dw_kernel, tile_v=tv,
+                          compute_dtype=compute_dtype, quantized=quantized),
+        grid=(V_pad // tv, B_pad // tr),
+        in_specs=[
+            pl.BlockSpec((tr, 128), lambda v, r: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, 128), lambda v, r: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, 128), lambda v, r: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, D), lambda v, r: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, tv), lambda v, r: (0, v), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tv), lambda v, r: (0, v), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tv), lambda v, r: (0, v), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((D, tv), lambda v, r: (0, v), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tv), lambda v, r: (0, v), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((D, V_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, V_pad), jnp.float32),
+        ),
+        interpret=interpret,
+    )(y2, g2, lse2, hp, wp, sp, bp)
+
+    V = bias.shape[-1]
+    return dh[:B], dw[:, :V], db[0, :V]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def ce_loss_fused(
+    h,  # [B, D] fp32
+    weight,  # [D, V] fp32/bf16 (int8 dicts: quantized weights don't train)
+    bias,  # [V] fp32
+    targets,  # [B] int32
+    tile_v: int = 2048,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+    scale=None,  # static None for trainable paths
+):
+    """Per-row CE loss ``[B]`` without materializing logits in HBM."""
+    loss, _ = _ce_fwd_impl(
+        h, weight, scale, bias, targets,
+        tile_v=tile_v, compute_dtype=compute_dtype, interpret=interpret,
+    )
+    return loss
+
+
+def _vjp_fwd(h, weight, bias, targets, tile_v, compute_dtype, interpret,
+             scale):
+    loss, lse = _ce_fwd_impl(
+        h, weight, scale, bias, targets,
+        tile_v=tile_v, compute_dtype=compute_dtype, interpret=interpret,
+    )
+    return loss, (h, weight, bias, targets, lse)
+
+
+def _vjp_bwd(tile_v, compute_dtype, interpret, scale, res, g):
+    h, weight, bias, targets, lse = res
+    dh, dw, db = _ce_bwd_impl(
+        h, weight, scale, bias, targets, lse, g,
+        tile_v=tile_v, compute_dtype=compute_dtype, interpret=interpret,
+    )
+    return dh, dw.astype(weight.dtype), db.astype(bias.dtype), None
+
+
+ce_loss_fused.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def ce_loss_ref(h, weight, bias, targets):
+    """jnp reference for tests."""
+    logits = (h @ weight.astype(jnp.float32) + bias).astype(jnp.float32)
+    m = jnp.max(logits, axis=1, keepdims=True)
+    lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=1, keepdims=True))
+    tgt = jnp.take_along_axis(logits, targets[:, None], axis=1)
+    return (lse - tgt)[:, 0]

@@ -27,6 +27,7 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--layers", type=int, default=1)
+    ap.add_argument("--vocab", type=int, default=50_000)
     args = ap.parse_args(argv)
 
     import jax
@@ -42,7 +43,7 @@ def main(argv=None):
     from jlm_tpu.models.params import init_params
 
     cfg = Config(
-        vocab_size=50_000, embed_size=256, hidden_size=512,
+        vocab_size=args.vocab, embed_size=256, hidden_size=512,
         num_layers=args.layers, batch_size=args.batch, num_steps=args.steps,
     )
     params = jax.tree.map(jnp.asarray, init_params(cfg))
@@ -53,10 +54,12 @@ def main(argv=None):
     c0 = jnp.zeros((cfg.num_layers, args.batch, cfg.hidden_size))
     h0 = jnp.zeros_like(c0)
 
-    def make_step(fwd):
+    def make_step(fwd, c=None):
+        c_ = c or cfg
+
         def loss_fn(p):
             hs, _ = fwd(p, ids[:, :-1])
-            return full_softmax_loss(p, cfg, hs, ids[:, 1:], precision="default")
+            return full_softmax_loss(p, c_, hs, ids[:, 1:], precision="default")
 
         @jax.jit
         def step(p, o):
@@ -66,6 +69,7 @@ def main(argv=None):
 
         return step
 
+    cfg_f = cfg.replace(fused_ce=True)
     fwd_xla = lambda p, x: forward_hidden(p, cfg, x, (c0, h0), precision="default")
     fwd_pls = lambda p, x: forward_hidden_pallas(
         p, cfg, x, (c0, h0), time_block=args.steps, compute_dtype=jnp.bfloat16
@@ -90,8 +94,13 @@ def main(argv=None):
         return max((tc - ts) / (CH - 1), 1e-9)
 
     tok = args.batch * args.steps
-    for name, fwd in (("xla_scan", fwd_xla), ("pallas_scan", fwd_pls)):
-        step = make_step(fwd)
+    for name, fwd, c in (
+        ("xla_scan", fwd_xla, None),
+        ("pallas_scan", fwd_pls, None),
+        ("xla+fusedCE", fwd_xla, cfg_f),
+        ("pallas+fusedCE", fwd_pls, cfg_f),
+    ):
+        step = make_step(fwd, c)
         dt = timeit(step, params, opt_state)
         log(f"train step {name:12s} {dt*1e3:7.2f} ms  "
             f"{tok/dt:10.0f} tokens/s")

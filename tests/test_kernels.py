@@ -293,3 +293,47 @@ def test_project_candidates_dsoftmax_int8():
     bias = jnp.concatenate([jnp.asarray(b["b"]) for b in blocks_f])
     ref = project_candidates_ref(h, dense, None, bias, cand)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Fused softmax cross-entropy kernel
+# ---------------------------------------------------------------------------
+
+from jlm_tpu.ops.softmax_ce import ce_loss_fused, ce_loss_ref
+
+
+@pytest.mark.parametrize("B,D,V", [(16, 128, 1000), (32, 256, 4096)])
+def test_ce_fused_forward(B, D, V):
+    rng = np.random.default_rng(21)
+    h = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    W = jnp.asarray(rng.normal(size=(D, V)).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.normal(size=(V,)).astype(np.float32) * 0.01)
+    y = jnp.asarray(rng.integers(0, V, B).astype(np.int32))
+    out = ce_loss_fused(h, W, b, y, 512, jnp.float32, True)
+    ref = ce_loss_ref(h, W, b, y)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_ce_fused_grads_match_ref():
+    rng = np.random.default_rng(22)
+    B, D, V = 24, 128, 1000  # V not a tile multiple: exercises padding
+    h = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    W = jnp.asarray(rng.normal(size=(D, V)).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.normal(size=(V,)).astype(np.float32) * 0.01)
+    y = jnp.asarray(rng.integers(0, V, B).astype(np.int32))
+    gw = jnp.asarray(rng.normal(size=(B,)).astype(np.float32))
+
+    def loss_k(h, W, b):
+        return jnp.sum(ce_loss_fused(h, W, b, y, 512, jnp.float32, True) * gw)
+
+    def loss_r(h, W, b):
+        return jnp.sum(ce_loss_ref(h, W, b, y) * gw)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(h, W, b)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(h, W, b)
+    for k, r, name in zip(gk, gr, ["h", "W", "b"]):
+        np.testing.assert_allclose(
+            np.asarray(k), np.asarray(r), atol=1e-4, rtol=1e-4,
+            err_msg=f"CE grad mismatch for {name}",
+        )

@@ -200,3 +200,47 @@ def test_trainer_remat_improves(encoded):
     ppl0 = tr.evaluate_ppl(dev[:400])
     tr.run_epoch(train[:1500], 0, jax.random.key(0))
     assert tr.evaluate_ppl(dev[:400]) < ppl0
+
+
+def test_fused_ce_loss_and_grads_match_unfused(encoded):
+    """config.fused_ce must be numerically equivalent to the jnp CE:
+    same loss and same grads on every param (the Pallas fused-CE kernel
+    runs in interpret mode on CPU)."""
+    import jax.numpy as jnp
+
+    from jlm_tpu.models.heads import full_softmax_loss
+    from jlm_tpu.models.lstm import forward_hidden, initial_state
+    from jlm_tpu.models.params import init_params
+
+    train, _, _ = encoded
+    cfg = small_cfg()
+    cfg_f = cfg.replace(fused_ce=True)
+    params = init_params(cfg)
+    ids = jnp.asarray(np.asarray(train[:4 * 9]).reshape(4, 9))
+    st = initial_state(cfg, 4)
+
+    def loss(p, c):
+        hs, _ = forward_hidden(p, c, ids[:, :-1], st, precision="highest")
+        return full_softmax_loss(p, c, hs, ids[:, 1:], precision="highest")
+
+    l0, g0 = jax.value_and_grad(loss)(params, cfg)
+    l1, g1 = jax.value_and_grad(loss)(params, cfg_f)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    flat0 = {str(k): v for k, v in jax.tree_util.tree_leaves_with_path(g0)}
+    flat1 = {str(k): v for k, v in jax.tree_util.tree_leaves_with_path(g1)}
+    assert flat0.keys() == flat1.keys()
+    for k in flat0:
+        np.testing.assert_allclose(
+            np.asarray(flat0[k]), np.asarray(flat1[k]), atol=2e-5, rtol=1e-4,
+            err_msg=k,
+        )
+
+
+def test_trainer_with_fused_ce_improves(encoded):
+    train, dev, _ = encoded
+    cfg = small_cfg(fused_ce=True)
+    tr = Trainer(cfg)
+    ppl0 = tr.evaluate_ppl(dev[:400])
+    rng = jax.random.key(0)
+    tr.run_epoch(train[:2000], 0, rng)
+    assert tr.evaluate_ppl(dev[:400]) < ppl0 * 0.9
