@@ -611,6 +611,8 @@ class BeamDecoder:
             fwd = forward_fn
         # Forwards with a prepare hook need the one-time transposed-head
         # prep (decode-side only; never touches training checkpoints).
+        # sharded forwards need S divisible by the data-mesh axis
+        self._min_batch = int(getattr(fwd, "min_batch", 1))
         if getattr(fwd, "prepare", None) is not None and "_decode" not in self.params:
             cd = getattr(fwd, "compute_dtype", jnp.float32)
             self.params["_decode"] = build_decode_head(self.params, config, cd)
@@ -687,7 +689,7 @@ class BeamDecoder:
     def _pack(self, kanas: List[str]):
         """Bucket-pad, build lattices (native if available), time-bucket."""
         n_real = len(kanas)
-        pad = self._bucket(n_real) - n_real
+        pad = max(self._bucket(n_real), self._min_batch) - n_real
         kanas_padded = list(kanas) + [kanas[-1]] * pad
         if self._native is not None:
             packed, lengths = self._native.pack_batch(kanas_padded)
@@ -772,14 +774,6 @@ class BeamDecoder:
             results.extend(self.materialize(c, packed, out, n_best))
         return results
 
-    def _pack_one(self, kana: str):
-        if self._native is not None:
-            packed, lengths = self._native.pack_batch([kana])
-        else:
-            lat = build_lattice(kana, self.lexicon, self.vocab, self.config)
-            packed, lengths = pack_lattice_batch([lat])
-        return packed[:, : max(int(lengths.max()), 1)], lengths
-
     def decode_long(self, kana: str, n_best: int = 1) -> List[DecodeResult]:
         """Decode an input longer than the static scan bound, in chunks.
 
@@ -800,7 +794,7 @@ class BeamDecoder:
         root = None
         for i, part in enumerate(parts):
             last = i == len(parts) - 1
-            packed, lengths = self._pack_one(part)
+            packed, lengths = self._pack([part])
             if not last:
                 # chain mode requires length == the scan bound exactly
                 assert int(lengths[0]) == packed.shape[1] == T_c

@@ -25,6 +25,11 @@ class ConversionReport:
     char_total: int
     seconds: float
     chars_per_sec: float
+    # gold surface appears anywhere in the n-best list (IME "oracle"
+    # accuracy: the candidate window the user actually sees); 0 when the
+    # eval ran with n_best=1.
+    nbest_match: int = 0
+    n_best: int = 1
 
     @property
     def sentence_accuracy(self) -> float:
@@ -34,12 +39,18 @@ class ConversionReport:
     def char_accuracy(self) -> float:
         return self.char_correct / max(1, self.char_total)
 
+    @property
+    def nbest_accuracy(self) -> float:
+        return self.nbest_match / max(1, self.sentences)
+
     def summary(self) -> str:
         return (
             f"sentences={self.sentences} "
             f"top1_acc={self.sentence_accuracy:.3f} "
             f"char_acc={self.char_accuracy:.3f} "
-            f"chars/s={self.chars_per_sec:.1f}"
+            + (f"top{self.n_best}_acc={self.nbest_accuracy:.3f} "
+               if self.n_best > 1 else "")
+            + f"chars/s={self.chars_per_sec:.1f}"
         )
 
 
@@ -65,24 +76,28 @@ def evaluate_conversion(
     decoder,
     test_set: Sequence[Tuple[str, str]],  # (kana reading, gold display)
     batched: bool = True,
+    n_best: int = 1,
 ) -> ConversionReport:
+    """With ``n_best > 1`` also reports oracle accuracy: the
+    fraction of sentences whose gold surface appears anywhere in the
+    n-best list (the IME candidate window the user actually sees)."""
     kanas = [k for k, _ in test_set]
     golds = [g for _, g in test_set]
     t0 = time.time()
     if batched and hasattr(decoder, "decode_batch"):
-        results = [r[0] if r else None for r in decoder.decode_batch(kanas, 1)]
+        nbests = decoder.decode_batch(kanas, n_best)
     else:
-        results = [
-            (decoder.decode(k, 1) or [None])[0] for k in kanas
-        ]
+        nbests = [decoder.decode(k, n_best) or [] for k in kanas]
     dt = time.time() - t0
 
     exact = 0
+    nbest_hit = 0
     char_ok = 0
     char_total = 0
-    for res, gold in zip(results, golds):
-        hyp = res.surface if res else ""
+    for nb, gold in zip(nbests, golds):
+        hyp = nb[0].surface if nb else ""
         exact += hyp == gold
+        nbest_hit += any(r.surface == gold for r in nb)
         char_ok += _char_correct(hyp, gold)
         char_total += len(gold)
     n_chars = sum(len(k) for k in kanas)
@@ -93,4 +108,6 @@ def evaluate_conversion(
         char_total=char_total,
         seconds=dt,
         chars_per_sec=n_chars / max(dt, 1e-9),
+        nbest_match=nbest_hit,
+        n_best=n_best,
     )

@@ -221,6 +221,8 @@ def make_sharded_forward(
         cand_logp, eos_logp = _sharded_head(params["head"], h_top, ids)
         return cand_logp, eos_logp, state
 
+    # the engine pads lattice batches up to this (S must divide mesh_data)
+    forward.min_batch = int(mesh.shape[DATA_AXIS])
     return forward
 
 

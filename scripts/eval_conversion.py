@@ -25,6 +25,10 @@ def main(argv=None):
     ap.add_argument("--exp", required=True)
     ap.add_argument("--test-file", default=None)
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--n-best", type=int, default=1,
+                    help=">1 also reports n-best oracle accuracy")
+    ap.add_argument("--n-test", type=int, default=50,
+                    help="synthetic test-set size when no --test-file")
     args = ap.parse_args(argv)
 
     vocab, *_ = load_dataset(args.data)
@@ -36,9 +40,11 @@ def main(argv=None):
         with open(args.test_file) as f:
             tests = [tuple(l.rstrip("\n").split("\t")[:2]) for l in f if l.strip()]
     else:
-        tests = generate_test_set(50, seed=777)
+        tests = generate_test_set(args.n_test, seed=777)
+    if args.n_best > 1:
+        cfg = cfg.replace(n_best_max=max(cfg.n_best_max, args.n_best))
     eng = BeamDecoder(params, lexicon, vocab, cfg)
-    rep = evaluate_conversion(eng, tests)
+    rep = evaluate_conversion(eng, tests, n_best=args.n_best)
     print(rep.summary())
 
 

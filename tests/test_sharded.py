@@ -249,3 +249,21 @@ def test_seq_pipeline_trainer_matches_single(encoded):
     p_s = tr_s.evaluate_ppl(dev[:400])
     p_1 = tr_1.evaluate_ppl(dev[:400])
     assert abs(p_s - p_1) / p_1 < 1e-3
+
+
+def test_sharded_decode_long_exact_scores(tiny_params, lexicon, vocab):
+    """decode_long composes with the vocab-sharded forward: chained chunks
+    carry the boundary beam across shard_map calls, scores stay exact vs
+    the single-device decode_long and the oracle LM rescore."""
+    cfg, mesh = cfg_mesh()
+    cfg = cfg.replace(max_kana_len=8)
+    params = jax.tree.map(jnp.asarray, tiny_params)
+    sharded = shard_params(params, cfg, mesh)
+    fwd = make_sharded_forward(mesh, cfg)
+    eng_s = BeamDecoder(sharded, lexicon, vocab, cfg, forward_fn=fwd)
+    eng_1 = BeamDecoder(tiny_params, lexicon, vocab, cfg, precision="highest")
+    kana = "きょうはいいてんきあめがふるよ"  # 15 kana -> 2 chunks of 8
+    r_s = eng_s.decode(kana, n_best=1)[0]
+    r_1 = eng_1.decode(kana, n_best=1)[0]
+    assert r_s.segments == r_1.segments
+    assert abs(r_s.score - r_1.score) < 1e-3
