@@ -179,6 +179,29 @@ class Trainer:
     # "Checkpoint / resume".)  Optimizer leaves are stored flat; the tree
     # structure is rebuilt from a fresh opt.init of the same config, so the
     # archive stays plain arrays (no pickled Python objects).
+    def _feed(self, x, batch_axis: int = 0):
+        """Host batch -> array the sharded step can consume.
+
+        Single-process: plain ``jnp.asarray`` (jit reshards).  Multi-process
+        SPMD: every process holds the SAME host batch (the corpus is
+        replicated, `bptt_batches` is deterministic), so build a global
+        array via ``make_array_from_callback`` with rows sharded over the
+        ``data`` mesh axis — each process materializes only its
+        locally-addressable shards.
+        """
+        if self.mesh is None or jax.process_count() == 1:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        x = np.asarray(x)
+        if "data" in self.mesh.axis_names:
+            spec = [None] * x.ndim
+            spec[batch_axis] = "data"
+            sh = NamedSharding(self.mesh, P(*spec))
+        else:
+            sh = NamedSharding(self.mesh, P())
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
     @staticmethod
     def _to_host(x):
         """Fetch an array to host numpy; allgathers multi-host shards."""
@@ -257,11 +280,12 @@ class Trainer:
         state = initial_state(cfg, cfg.batch_size)
         lr = jnp.float32(epoch_lr(cfg, epoch))
         total, n = 0.0, 0
+        state = jax.tree.map(lambda s: self._feed(np.asarray(s), 1), state)
         for x, y in bptt_batches(ids, cfg.batch_size, cfg.num_steps):
             rng, sub = jax.random.split(rng)
             self.params, self.opt_state, state, loss = self._train_step(
-                self.params, self.opt_state, state, jnp.asarray(x), jnp.asarray(y),
-                sub, lr,
+                self.params, self.opt_state, state, self._feed(x),
+                self._feed(y), sub, lr,
             )
             total += float(loss) * x.size
             n += x.size
@@ -276,10 +300,11 @@ class Trainer:
         """
         cfg = self.config
         state = initial_state(cfg, cfg.batch_size)
+        state = jax.tree.map(lambda s: self._feed(np.asarray(s), 1), state)
         total, n = 0.0, 0
         for x, y in bptt_batches(ids, cfg.batch_size, cfg.num_steps):
             loss, state = self._eval_step(
-                self.params, state, jnp.asarray(x), jnp.asarray(y)
+                self.params, state, self._feed(x), self._feed(y)
             )
             total += float(loss) * x.size
             n += x.size

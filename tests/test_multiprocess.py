@@ -1,0 +1,108 @@
+"""REAL multi-process SPMD training (SURVEY.md §3.3 multi-host launcher).
+
+Round 1 could only dryrun multi-host logic on a single-process virtual
+mesh.  This test launches TWO separate processes (4 virtual CPU devices
+each → 8 global devices) that bootstrap via ``jax.distributed.initialize``
+— the actual multi-host code path, Gloo collectives across process
+boundaries — build the (data=2, vocab=4) global mesh, run the sharded
+Trainer for one epoch with cross-process batch feeding
+(``Trainer._feed``), and checkpoint from process 0.  The resulting params
+must match a single-process Trainer bit-for-bit-within-tolerance: grad
+sync across processes is exact, not approximate.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4"
+    ).strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid, port, out = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    jax.distributed.initialize(f"localhost:{port}", num_processes=2,
+                               process_id=pid)
+    assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
+    import numpy as np
+    from jlm_tpu.config import Config
+    from jlm_tpu.data import build_vocab, encode_corpus, generate_corpus
+    from jlm_tpu.parallel.mesh import make_mesh
+    from jlm_tpu.train import Trainer
+
+    cfg = Config(vocab_size=256, embed_size=16, hidden_size=32, batch_size=4,
+                 num_steps=8, learning_rate=5e-3, seed=5,
+                 mesh_data=2, mesh_vocab=4)
+    lines = generate_corpus(800, seed=1234)
+    ids = encode_corpus(lines, build_vocab(lines, cfg.vocab_size))
+    tr = Trainer(cfg, mesh=make_mesh(cfg))
+    tr.run_epoch(ids[:1600], 0, jax.random.key(0))
+    tr.save_state(out, 0)
+    print(f"[p{pid}] done", flush=True)
+    """
+)
+
+
+def test_two_process_training_matches_single(tmp_path):
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    out = str(tmp_path / "exp")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), str(port), out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            o, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            o, _ = p.communicate()
+        logs.append(o.decode(errors="replace"))
+    assert all(p.returncode == 0 for p in procs), "\n".join(logs)
+
+    # single-process reference run (same seed/data/steps)
+    import jax
+
+    from jlm_tpu.config import Config
+    from jlm_tpu.data import build_vocab, encode_corpus, generate_corpus
+    from jlm_tpu.train import Trainer, load_checkpoint
+
+    cfg = Config(vocab_size=256, embed_size=16, hidden_size=32, batch_size=4,
+                 num_steps=8, learning_rate=5e-3, seed=5)
+    lines = generate_corpus(800, seed=1234)
+    ids = encode_corpus(lines, build_vocab(lines, cfg.vocab_size))
+    tr = Trainer(cfg)
+    tr.run_epoch(ids[:1600], 0, jax.random.key(0))
+
+    got, _ = load_checkpoint(out, tag="latest")
+    flat_g = {str(k): v for k, v in
+              jax.tree_util.tree_leaves_with_path(got)}
+    flat_w = {str(k): v for k, v in
+              jax.tree_util.tree_leaves_with_path(tr.params)}
+    assert flat_g.keys() == flat_w.keys()
+    for k in flat_w:
+        np.testing.assert_allclose(
+            np.asarray(flat_g[k]), np.asarray(flat_w[k]),
+            atol=2e-4, rtol=2e-3, err_msg=k,
+        )
