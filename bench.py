@@ -112,7 +112,12 @@ def main():
     # --- MFU accounting (BASELINE north star: kernels at speed-of-light) --
     B = config.beam_pad
     S, H, E, V = 512, config.hidden_size, config.embed_size, config.vocab_size
-    t_bucket = 16  # the stream's bucketed frame count
+    # the stream's bucketed frame count, derived with the engine's own
+    # bucketing rule (VERDICT r2 weak #6: hardcoding 16 silently mis-computes
+    # MFU if the test-set length distribution changes)
+    t_bucket = min(
+        BeamDecoder._bucket(max(len(k) for k in stream)), config.max_kana_len
+    )
     lstm_fl = 2 * S * B * (E + H) * 4 * H
     head_fl = 2 * S * B * H * V
     tflops = t_bucket * (lstm_fl + head_fl) / tpu_dt / 1e12

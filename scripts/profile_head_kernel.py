@@ -39,7 +39,11 @@ def main():
     from jlm_tpu.ops.project import _project_block
     from jlm_tpu.ops.quant import quantize_weight
 
-    R, H, V = 2048, 512, 50_176  # rows, hidden, vocab (padded to 2048)
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=8192)  # engine hot shape S*B
+    args = ap.parse_args()
+    R, H, V = args.rows, 512, 50_176  # rows, hidden, vocab (padded to 2048)
     rng = np.random.default_rng(0)
     h = jnp.asarray(rng.normal(size=(R, H)), jnp.float32) * 0.1
     W = jnp.asarray(rng.normal(size=(H, V)), jnp.float32) * 0.05
@@ -105,19 +109,22 @@ def main():
         ("int8 MXU/b", Wq, Ws, True, hbf),
         ("fp32      ", W, None, False, h),
     ):
-        for tr in (512, 1024, 2048):
+        for tr in (None, 512, 1024, 2048, 4096):
             for tv in (512, 1024, 2048):
-                # accurate working-set filter (mirrors _project_block's
-                # auto-sizer: double-buffered W tile + h row block + logits
-                # and one elementwise temp + double-buffered outputs)
-                need = (
-                    2 * H * tv * w_arr.dtype.itemsize
-                    + tr * H * h_in.dtype.itemsize
-                    + 2 * tr * tv * 4
-                    + 2 * tr * (128 + 256) * 4
-                )
-                if need > 13 * 1024 * 1024:
-                    continue
+                if tr is None and tv != 2048:
+                    continue  # auto-sizer picks its own tv; run once
+                if tr is not None:
+                    # working-set filter (mirrors _project_block's r3
+                    # auto-sizer: chunked logits, h in compute dtype)
+                    need = (
+                        2 * H * tv * w_arr.dtype.itemsize
+                        + 2 * tr * H * 2
+                        + 2 * tr * min(256, tv) * 4
+                        + 4 * tr * 128 * 4
+                        + (tr * H + tr * 128 * 4 if int8_mxu else 0)
+                    )
+                    if need > 13 * 1024 * 1024:
+                        continue
 
                 @jax.jit
                 def run(h_in, w_arr=w_arr, w_scale=w_scale, tr=tr, tv=tv,
@@ -132,10 +139,10 @@ def main():
 
                 try:
                     dt = timeit(run, h_in)
-                    log(f"kernel {wname} tr={tr:4d} tv={tv:4d} "
+                    log(f"kernel {wname} tr={str(tr):>4s} tv={tv:4d} "
                         f"{dt*1e3:7.2f} ms  {flops/dt/1e12:6.1f} TFLOP/s")
                 except Exception as e:
-                    log(f"kernel {wname} tr={tr:4d} tv={tv:4d} FAILED: "
+                    log(f"kernel {wname} tr={str(tr):>4s} tv={tv:4d} FAILED: "
                         f"{str(e).splitlines()[0][:100]}")
 
 

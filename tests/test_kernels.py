@@ -337,3 +337,26 @@ def test_ce_fused_grads_match_ref():
             np.asarray(k), np.asarray(r), atol=1e-4, rtol=1e-4,
             err_msg=f"CE grad mismatch for {name}",
         )
+
+
+@pytest.mark.parametrize("R,E,H,dtype", [
+    (48, 64, 96, jnp.float32),
+    (48, 64, 96, jnp.bfloat16),
+])
+def test_lstm_cell_step(R, E, H, dtype):
+    """Fused decode-cell kernel vs the jnp reference cell."""
+    from jlm_tpu.ops.lstm_cell import lstm_cell_ref, lstm_cell_step
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(R, E)).astype(np.float32) * 0.3)
+    h = jnp.asarray(rng.normal(size=(R, H)).astype(np.float32) * 0.3)
+    c = jnp.asarray(rng.normal(size=(R, H)).astype(np.float32) * 0.3)
+    W = jnp.asarray(rng.normal(size=(E + H, 4 * H)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(4 * H,)).astype(np.float32) * 0.01)
+    c2, h2 = lstm_cell_step(x, h, c, W, b, 1.0, compute_dtype=dtype,
+                            interpret=True)
+    c_ref, h_ref = lstm_cell_ref(x, h, c, W, b, 1.0)
+    atol = 1e-5 if dtype == jnp.float32 else 3e-2
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c_ref), atol=atol)
+    np.testing.assert_allclose(np.asarray(h2, np.float32),
+                               np.asarray(h_ref), atol=atol)
