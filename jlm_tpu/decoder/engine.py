@@ -642,6 +642,13 @@ class BeamDecoder:
         # prep (decode-side only; never touches training checkpoints).
         # sharded forwards need S divisible by the data-mesh axis
         self._min_batch = int(getattr(fwd, "min_batch", 1))
+        # Multi-PROCESS SPMD decode (BASELINE config 5: streaming batched
+        # conversion over a multi-host pod slice): a sharded forward carries
+        # its mesh; when the mesh spans processes, lattice uploads become
+        # global replicated arrays (every process builds identical lattices
+        # — deterministic packers) and result fetches allgather the
+        # data-sharded outputs.
+        self._mesh = getattr(fwd, "mesh", None)
         if getattr(fwd, "prepare", None) is not None and "_decode" not in self.params:
             cd = getattr(fwd, "compute_dtype", jnp.float32)
             self.params["_decode"] = build_decode_head(self.params, config, cd)
@@ -734,6 +741,25 @@ class BeamDecoder:
         t_bucket = min(self._bucket(int(lengths.max())), self.config.max_kana_len)
         return packed[:, :t_bucket], lengths
 
+    def _upload(self, x: np.ndarray):
+        """Host array -> device array (global replicated under a
+        multi-process mesh: every process passes the same value)."""
+        if self._mesh is None or jax.process_count() == 1:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(self._mesh, P())
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    @staticmethod
+    def _fetch(x) -> np.ndarray:
+        """Device array -> host numpy; allgathers multi-process shards."""
+        if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            x = multihost_utils.process_allgather(x, tiled=True)
+        return np.asarray(x)
+
     def decode_batch_async(self, kanas: List[str]):
         """Dispatch one chunk; returns (packed, device outputs) unfetched.
 
@@ -742,7 +768,7 @@ class BeamDecoder:
         """
         packed, lengths = self._pack(kanas)
         out = self._decode_jit(
-            self.params, jnp.asarray(packed), jnp.asarray(lengths)
+            self.params, self._upload(packed), self._upload(lengths)
         )
         return packed, out
 
@@ -750,8 +776,8 @@ class BeamDecoder:
         self, kanas: List[str], packed: np.ndarray, out, n_best: int = 1
     ) -> List[List[DecodeResult]]:
         """Fetch one dispatched chunk's results and build surfaces."""
-        finals = np.asarray(out["final_topk"])
-        paths = np.asarray(out["paths"])
+        finals = self._fetch(out["final_topk"])
+        paths = self._fetch(out["paths"])
         return [
             self.results_from_packed(
                 kanas[i], packed[i], finals[i], paths[i], n_best

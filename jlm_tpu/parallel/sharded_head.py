@@ -223,6 +223,9 @@ def make_sharded_forward(
 
     # the engine pads lattice batches up to this (S must divide mesh_data)
     forward.min_batch = int(mesh.shape[DATA_AXIS])
+    # the engine uploads lattices as global arrays over this mesh and
+    # allgathers results when the mesh spans multiple processes
+    forward.mesh = mesh
     return forward
 
 

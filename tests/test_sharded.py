@@ -267,3 +267,29 @@ def test_sharded_decode_long_exact_scores(tiny_params, lexicon, vocab):
     r_1 = eng_1.decode(kana, n_best=1)[0]
     assert r_s.segments == r_1.segments
     assert abs(r_s.score - r_1.score) < 1e-3
+
+
+def test_comms_model_consistency():
+    """The analytic model's payloads must track make_sharded_forward's
+    actual psum shapes, and the projection must be monotone in bandwidth."""
+    from jlm_tpu.config import Config
+    from jlm_tpu.parallel.comms_model import (
+        decode_collective_bytes_per_frame,
+        decode_scaling_projection,
+    )
+
+    cfg = Config(vocab_size=50_000)
+    S, n = 512, 4
+    c = decode_collective_bytes_per_frame(cfg, S, n)
+    R = S * cfg.beam_pad
+    C1 = cfg.max_lookahead + 1
+    assert c["payload_bytes_pmax"] == R * 4
+    assert c["payload_bytes_psum_cand"] == S * cfg.beam_pad * C1 * 4
+    assert c["wire_bytes_per_device_per_frame"] == (
+        2 * (n - 1) / n * c["payload_bytes_total"]
+    )
+    fast = decode_scaling_projection(cfg, S, 8.0, 0.55, n_vocab=4, gbps=100)
+    slow = decode_scaling_projection(cfg, S, 8.0, 0.55, n_vocab=4, gbps=12.5)
+    assert fast["speedup_vs_1chip"] > slow["speedup_vs_1chip"] > 1.0
+    assert 0 < fast["eff_vs_ideal"] <= 1.0
+    assert fast["eff_data_axis"] == 1.0
