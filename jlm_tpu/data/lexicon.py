@@ -43,6 +43,30 @@ class Lexicon:
             max_len = max(max_len, len(tok.reading))
         return Lexicon(by_reading=by_reading, max_reading_len=max_len)
 
+    def prefix_next(self) -> Dict[str, Dict[str, List[int]]]:
+        """``strict-prefix → {next_char: [word ids]}`` continuation index.
+
+        For every reading ``r`` and every strict prefix ``p`` of it
+        (including the empty prefix = "a new word starts here"), maps the
+        character that would extend ``p`` within ``r`` to the words it
+        leads to — the structure the LM-driven next-kana predictor walks
+        (SURVEY.md §4.7; an IME's lookahead must rank MID-WORD
+        continuations, not just word starts).  Word lists inherit the
+        lexicon's frequency order.  Built lazily, cached.
+        """
+        idx = getattr(self, "_prefix_next", None)
+        if idx is None:
+            idx = {}
+            for reading, wids in self.by_reading.items():
+                for i in range(len(reading)):
+                    d = idx.setdefault(reading[:i], {})
+                    lst = d.setdefault(reading[i], [])
+                    for w in wids:
+                        if len(lst) < 4:  # cap: a few words witness a char
+                            lst.append(w)
+            self._prefix_next = idx
+        return idx
+
     def candidates(self, reading: str) -> List[Tuple[int, str]]:
         """All (word_id, display) whose reading equals ``reading``.
 
