@@ -40,23 +40,38 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+_CHUNK_V = 256  # fp32 logits materialize this many columns at a time
+
+
 def _pick_tiles(B, D, V, w_itemsize, tile_v):
-    """(tile_r, tile_v) under the scoped-VMEM budget (logits tile included)."""
-    budget = 12 * 1024 * 1024
-    best = (256, min(tile_v, _round_up(V, 128)))
-    for tv_try in (2048, 1024, 512, 256):
-        tvc = min(tv_try, _round_up(V, 128))
-        fixed = 2 * D * tvc * w_itemsize + 6 * tvc * 4
-        tr_try = 8
-        while tr_try < 2048:
-            trial = tr_try * 2
-            need = fixed + trial * (D * 4 + 2 * tvc * 4 + 6 * 128 * 4)
-            if need > budget:
-                break
-            tr_try = trial
-        if tr_try > best[0] or (tr_try == best[0] and tvc > best[1]):
-            best = (tr_try, tvc)
-    return best
+    """(tile_r, tile_v) under the scoped-VMEM budget.
+
+    r3 rework (mirrors ops/project.py): the dominant HBM cost is the
+    weight matrix re-streamed once per ROW sweep, so the LARGEST fitting
+    row tile wins; large tiles fit because logits materialize only a
+    ``_CHUNK_V``-column slice at a time.  The dh backward also holds a
+    [tr, D] fp32 accumulator; the dw backward a resident [D, tv] fp32
+    output — both included in the budget below (worst case of the three
+    kernels)."""
+    budget = 13 * 1024 * 1024
+    for tr_try in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+        if tr_try > _round_up(B, 8) and tr_try > 8:
+            continue
+        for tv_try in (2048, 1024, 512, 256):
+            tvc = min(tv_try, _round_up(V, 128))
+            ck = min(_CHUNK_V, tvc)
+            need = (
+                2 * D * tvc * w_itemsize  # double-buffered W tile
+                + 2 * D * tvc * 4  # resident dw output (bwd K2) fp32
+                + 6 * tvc * 4  # scale/bias/db tiles
+                + 2 * tr_try * D * 4  # h block, double-buffered
+                + tr_try * D * 4  # dh accumulator (bwd K1)
+                + 2 * tr_try * ck * 4  # logits chunk + temp
+                + 10 * tr_try * 128 * 4  # y/g/lse in + m/s/t out (dbl)
+            )
+            if need <= budget:
+                return (tr_try, tvc)
+    return (8, 256)
 
 
 def _tile_logits(h_ref, w_ref, scale_ref, b_ref, compute_dtype, quantized):
@@ -95,19 +110,28 @@ def _ce_fwd_kernel(
         s_out_ref[:] = jnp.zeros_like(s_out_ref)
         t_out_ref[:] = jnp.zeros_like(t_out_ref)
 
-    logits = _tile_logits(h_ref, w_ref, scale_ref, b_ref, compute_dtype,
-                          quantized)
-    m_old = m_out_ref[:, :1]
-    m_new = jnp.maximum(m_old, jnp.max(logits, axis=1, keepdims=True))
-    s_out_ref[:, :1] = s_out_ref[:, :1] * jnp.exp(m_old - m_new) + jnp.sum(
-        jnp.exp(logits - m_new), axis=1, keepdims=True
-    )
-    m_out_ref[:, :1] = m_new
-
-    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + v * tile_v
-    hit = col == y_ref[:, :1]
-    t_out_ref[:, :1] += jnp.sum(jnp.where(hit, logits, 0.0), axis=1,
+    m_run = m_out_ref[:, :1]
+    s_run = s_out_ref[:, :1]
+    t_run = t_out_ref[:, :1]
+    for c0 in range(0, tile_v, min(_CHUNK_V, tile_v)):
+        ck = min(_CHUNK_V, tile_v)
+        logits = _tile_logits(h_ref, w_ref.at[:, c0:c0 + ck],
+                              scale_ref.at[:, c0:c0 + ck],
+                              b_ref.at[:, c0:c0 + ck],
+                              compute_dtype, quantized)
+        m_new = jnp.maximum(m_run, jnp.max(logits, axis=1, keepdims=True))
+        s_run = s_run * jnp.exp(m_run - m_new) + jnp.sum(
+            jnp.exp(logits - m_new), axis=1, keepdims=True
+        )
+        m_run = m_new
+        col = (jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+               + v * tile_v + c0)
+        hit = col == y_ref[:, :1]
+        t_run = t_run + jnp.sum(jnp.where(hit, logits, 0.0), axis=1,
                                 keepdims=True)
+    m_out_ref[:, :1] = m_run
+    s_out_ref[:, :1] = s_run
+    t_out_ref[:, :1] = t_run
 
 
 def _ce_bwd_dh_kernel(
@@ -128,22 +152,28 @@ def _ce_bwd_dh_kernel(
     def _init():
         dh_out_ref[:] = jnp.zeros_like(dh_out_ref)
 
-    logits = _tile_logits(h_ref, w_ref, scale_ref, b_ref, compute_dtype,
-                          quantized)
-    p = jnp.exp(logits - lse_ref[:, :1])
-    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + v * tile_v
-    gp = g_ref[:, :1] * (p - (col == y_ref[:, :1]).astype(jnp.float32))
-    if quantized:
-        w = (w_ref[:].astype(jnp.float32) * scale_ref[0, :][None, :]).astype(
-            compute_dtype
+    acc = dh_out_ref[:]
+    for c0 in range(0, tile_v, min(_CHUNK_V, tile_v)):
+        ck = min(_CHUNK_V, tile_v)
+        logits = _tile_logits(h_ref, w_ref.at[:, c0:c0 + ck],
+                              scale_ref.at[:, c0:c0 + ck],
+                              b_ref.at[:, c0:c0 + ck],
+                              compute_dtype, quantized)
+        p = jnp.exp(logits - lse_ref[:, :1])
+        col = (jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+               + v * tile_v + c0)
+        gp = g_ref[:, :1] * (p - (col == y_ref[:, :1]).astype(jnp.float32))
+        if quantized:
+            w = (w_ref[:, c0:c0 + ck].astype(jnp.float32)
+                 * scale_ref[0, c0:c0 + ck][None, :]).astype(compute_dtype)
+        else:
+            w = w_ref[:, c0:c0 + ck].astype(compute_dtype)
+        acc = acc + jax.lax.dot_general(
+            gp.astype(compute_dtype), w,
+            (((1,), (1,)), ((), ())),  # gp @ w^T
+            preferred_element_type=jnp.float32,
         )
-    else:
-        w = w_ref[:].astype(compute_dtype)
-    dh_out_ref[:] += jax.lax.dot_general(
-        gp.astype(compute_dtype), w,
-        (((1,), (1,)), ((), ())),  # gp @ w^T
-        preferred_element_type=jnp.float32,
-    )
+    dh_out_ref[:] = acc
 
 
 def _ce_bwd_dw_kernel(
@@ -165,17 +195,22 @@ def _ce_bwd_dw_kernel(
         dw_out_ref[:] = jnp.zeros_like(dw_out_ref)
         db_out_ref[:] = jnp.zeros_like(db_out_ref)
 
-    logits = _tile_logits(h_ref, w_ref, scale_ref, b_ref, compute_dtype,
-                          quantized)
-    p = jnp.exp(logits - lse_ref[:, :1])
-    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + v * tile_v
-    gp = g_ref[:, :1] * (p - (col == y_ref[:, :1]).astype(jnp.float32))
-    dw_out_ref[:] += jax.lax.dot_general(
-        h_ref[:].astype(compute_dtype), gp.astype(compute_dtype),
-        (((0,), (0,)), ((), ())),  # h^T @ gp
-        preferred_element_type=jnp.float32,
-    )
-    db_out_ref[:] += jnp.sum(gp, axis=0, keepdims=True)
+    for c0 in range(0, tile_v, min(_CHUNK_V, tile_v)):
+        ck = min(_CHUNK_V, tile_v)
+        logits = _tile_logits(h_ref, w_ref.at[:, c0:c0 + ck],
+                              scale_ref.at[:, c0:c0 + ck],
+                              b_ref.at[:, c0:c0 + ck],
+                              compute_dtype, quantized)
+        p = jnp.exp(logits - lse_ref[:, :1])
+        col = (jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+               + v * tile_v + c0)
+        gp = g_ref[:, :1] * (p - (col == y_ref[:, :1]).astype(jnp.float32))
+        dw_out_ref[:, c0:c0 + ck] += jax.lax.dot_general(
+            h_ref[:].astype(compute_dtype), gp.astype(compute_dtype),
+            (((0,), (0,)), ((), ())),  # h^T @ gp
+            preferred_element_type=jnp.float32,
+        )
+        db_out_ref[:, c0:c0 + ck] += jnp.sum(gp, axis=0, keepdims=True)
 
 
 def _prep(h, weight, scale, bias, targets, tile_v):

@@ -23,8 +23,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# CPU-only workload: force the CPU backend BEFORE jax initializes.  The
+# axon sitecustomize would otherwise initialize the tunneled TPU backend
+# (even under JAX_PLATFORMS=cpu) and hold the single-client relay,
+# wedging any concurrent TPU job.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 
 def log(*a):
@@ -41,6 +48,10 @@ def main():
     ap.add_argument("--out", default="QUALITY.json")
     ap.add_argument("--skip-dsoftmax", action="store_true")
     args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
     import numpy as np
 
