@@ -119,8 +119,16 @@ class Config:
 
     @property
     def beam_pad(self) -> int:
-        """Beam width padded to a TPU-friendly multiple of 8."""
-        return max(8, -(-self.beam_width // 8) * 8)
+        """Beam width padded to an even row count.
+
+        The beam axis always appears FLATTENED with the sentence axis in
+        device compute (``S·B`` matmul rows), so it does not itself need
+        the 8-sublane alignment — rounding 10 up to 16 (round 1/2
+        behavior) made every row-proportional cost in the frame step 60%
+        more expensive for beam_width=10.  Even keeps ``S·B`` a multiple
+        of 8 for any bucketed S >= 4.
+        """
+        return max(8, self.beam_width + (self.beam_width % 2))
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

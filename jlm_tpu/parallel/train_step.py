@@ -41,17 +41,37 @@ def _cast_floats(tree: Any, dtype) -> Any:
     return jax.tree.map(cast, tree)
 
 
-def _make_loss_fn(mesh: jax.sharding.Mesh, config: Config, precision: str):
-    loss_head = vocab_parallel_nll(mesh, config, precision)
+def _make_loss_fn(mesh: jax.sharding.Mesh, config: Config, precision: str,
+                  force_full: bool = False):
+    sampled = config.sampled_softmax_samples > 0 and not force_full
+    if sampled:
+        # Data-parallel sampled softmax (VERDICT r2 weak #7): with the
+        # vocab axis trivial, the head is replicated and the sampled loss
+        # is plain jnp — GSPMD row-shards ``hs`` over ``data`` and the
+        # global mean falls out of the unsharded reduction.  The candidate
+        # set is drawn from the REPLICATED rng, so every shard shares the
+        # same negatives (the estimator stays exactly the single-device
+        # one on the global batch).
+        from jlm_tpu.models.heads import sampled_softmax_loss
+        assert mesh.shape.get("vocab", 1) == 1, (
+            "sampled softmax is incompatible with vocab (tensor) "
+            "parallelism — the sampled candidate columns live on one "
+            "shard; use full-softmax vocab-parallel CE (the default) or "
+            "a data-only mesh"
+        )
+    else:
+        loss_head = vocab_parallel_nll(mesh, config, precision)
     bf16 = config.compute_dtype == "bfloat16"
 
-    def loss_fn(params, state, x, y):
+    def loss_fn(params, state, x, y, rng=None):
         fparams = _cast_floats(params, jnp.bfloat16) if bf16 else params
         if bf16:
             state = jax.tree.map(lambda s: s.astype(jnp.bfloat16), state)
         hs, new_state = forward_hidden(fparams, config, x, state, precision,
                                        remat=config.remat)
         new_state = jax.tree.map(lambda s: s.astype(jnp.float32), new_state)
+        if sampled:
+            return sampled_softmax_loss(fparams, config, hs, y, rng), new_state
         return loss_head(fparams, hs, y), new_state
 
     return loss_fn
@@ -79,14 +99,13 @@ def make_sharded_train_step(
 
     @jax.jit
     def step(params, opt_state, state, x, y, rng=None, lr=None):
-        del rng
         x = jax.lax.with_sharding_constraint(x, data_sharding)
         y = jax.lax.with_sharding_constraint(y, data_sharding)
         state = jax.tree.map(
             lambda s: jax.lax.with_sharding_constraint(s, state_sharding), state
         )
         (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, state, x, y
+            params, state, x, y, rng
         )
         if lr is not None and hasattr(opt_state, "hyperparams"):
             opt_state.hyperparams["learning_rate"] = lr
@@ -100,8 +119,11 @@ def make_sharded_train_step(
 def make_sharded_eval_step(
     mesh: jax.sharding.Mesh, config: Config, precision: str = "default"
 ) -> Callable:
-    """Jitted ``eval(params, state, x, y) -> (mean NLL, state')`` on the mesh."""
-    loss_fn = _make_loss_fn(mesh, config, precision)
+    """Jitted ``eval(params, state, x, y) -> (mean NLL, state')`` on the mesh.
+
+    Always full softmax (sampled softmax is a training-only approximation,
+    SURVEY.md §3.1 "PPL evaluator")."""
+    loss_fn = _make_loss_fn(mesh, config, precision, force_full=True)
 
     data_sharding = NamedSharding(mesh, P(DATA_AXIS))
     state_sharding = NamedSharding(mesh, P(None, DATA_AXIS))

@@ -105,10 +105,19 @@ class Trainer:
                 mesh, config, config.seq_microbatches
             )
         elif mesh is not None and mesh.devices.size > 1:
-            if config.sampled_softmax_samples > 0:
+            if (
+                config.sampled_softmax_samples > 0
+                and mesh.shape.get("vocab", 1) > 1
+            ):
+                # Construction-time check (the r2 version raised for ANY
+                # mesh and only at runtime): sampled softmax now works
+                # data-parallel — only vocab (tensor) sharding is
+                # incompatible (the sampled candidate columns would live
+                # on one shard).
                 raise ValueError(
-                    "sampled softmax is a single-device training loss; the "
-                    "sharded path trains with vocab-parallel full-softmax CE"
+                    "sampled softmax is incompatible with vocab (tensor) "
+                    "parallelism; use a data-only mesh (mesh_vocab=1) or "
+                    "the default vocab-parallel full-softmax CE"
                 )
             from jlm_tpu.parallel.train_step import (
                 init_sharded_training,

@@ -293,3 +293,28 @@ def test_comms_model_consistency():
     assert fast["speedup_vs_1chip"] > slow["speedup_vs_1chip"] > 1.0
     assert 0 < fast["eff_vs_ideal"] <= 1.0
     assert fast["eff_data_axis"] == 1.0
+
+
+def test_sampled_softmax_data_parallel(tiny_config, encoded):
+    """Sampled softmax now trains on a data-only mesh (VERDICT r2 weak #7):
+    one epoch runs, loss finite, and a vocab-sharded mesh still refuses at
+    construction time."""
+    import jax
+    import numpy as np
+    import pytest as _pytest
+
+    from jlm_tpu.parallel.mesh import make_mesh
+    from jlm_tpu.train import Trainer
+
+    cfg = tiny_config.replace(
+        sampled_softmax_samples=32, mesh_data=4, mesh_vocab=1, batch_size=4
+    )
+    tr = Trainer(cfg, mesh=make_mesh(cfg))
+    ppl = tr.run_epoch(encoded[0][:600], 0, jax.random.key(0))
+    assert np.isfinite(ppl) and ppl > 1.0
+
+    bad = tiny_config.replace(
+        sampled_softmax_samples=32, mesh_data=2, mesh_vocab=4
+    )
+    with _pytest.raises(ValueError, match="vocab"):
+        Trainer(bad, mesh=make_mesh(bad))
