@@ -177,12 +177,16 @@ def main():
                     hit += hyp_spans.get(span) == g
             return hit / max(1, tot), tot
 
+        # FLOP-matched A/B (the arXiv:1810.09309 comparison): identical
+        # block dims for both modes, summing to H so the disjoint rule is
+        # valid — prefix re-USES the first dims across blocks, disjoint
+        # gives each block its own segment.  The paper's claim is that
+        # prefix ("D-softmax*") wins on rare words at the same cost.
+        dims = (max(8, args.hidden // 2), max(8, args.hidden // 4),
+                max(8, args.hidden // 4))
         for mode in ("prefix", "disjoint"):
             ds = DSoftmaxConfig(
-                block_sizes=(b0, b1, b2),
-                block_dims=(args.hidden, max(8, args.hidden // 2),
-                            max(8, args.hidden // 4)),
-                mode=mode,
+                block_sizes=(b0, b1, b2), block_dims=dims, mode=mode,
             )
             cfg = lstm_cfg.replace(head="dsoftmax", dsoftmax=ds)
             params, rep = train_and_eval(f"lstm_dsoftmax_{mode}", cfg)
