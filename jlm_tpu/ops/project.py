@@ -190,7 +190,11 @@ def _project_block(
         # dominant cost at decode shapes (r2's tr=256 paid 1.6 GB/frame).
         # Large tiles fit because fp32 logits only materialize one
         # ``chunk_v``-column slice at a time.
-        budget = 13 * 1024 * 1024
+        # 10 MB, not the full ~16: Mosaic needs headroom to double-buffer
+        # the streaming W tiles; at ~13 MB the pipelining collapses and the
+        # kernel runs DMA-serialized (measured in-engine: (1024, 1024) with
+        # headroom beats (1024, 2048) without, even at 2x the weight bytes)
+        budget = 10 * 1024 * 1024
         chunk = 256
         best = None
         for tr_try in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):

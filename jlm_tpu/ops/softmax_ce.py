@@ -53,7 +53,7 @@ def _pick_tiles(B, D, V, w_itemsize, tile_v):
     [tr, D] fp32 accumulator; the dw backward a resident [D, tv] fp32
     output — both included in the budget below (worst case of the three
     kernels)."""
-    budget = 13 * 1024 * 1024
+    budget = 10 * 1024 * 1024  # headroom for DMA double-buffering
     for tr_try in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
         if tr_try > _round_up(B, 8) and tr_try > 8:
             continue
