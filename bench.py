@@ -85,13 +85,24 @@ def main():
     log(f"oracle (CPU greedy, config 1): {n_chars} chars in "
         f"{oracle_dt:.2f}s = {baseline:.1f} chars/s")
 
-    # --- TPU engine: config 2 (beam-10, streaming batched) ---------------
-    # Streaming regime (BASELINE config 5's per-chip unit): many 128-lattice
+    # --- TPU engine: speed mode (beam-10, streaming batched) -------------
+    # Streaming regime (BASELINE config 5's per-chip unit): many 512-lattice
     # chunks are DISPATCHED before any result is fetched, so chunk k's
     # device scan overlaps chunk k-1's result fetch — steady-state
     # throughput is device-limited, not round-trip-limited (the tunneled
     # host link costs ~30 ms per fetch, comparable to a whole device scan).
-    engine = BeamDecoder(params, lexicon, vocab, config, precision="default")
+    #
+    # The headline engine uses int8 weights on the native int8 MXU path —
+    # the reference's OWN headline recipe is int8 quantization for speed
+    # (SURVEY.md §4.3; JLM:README.md), and it is the fastest parity-checked
+    # configuration in-engine (r3: 50.1k vs 45.6k chars/s for bf16 full
+    # softmax at S=512).  Greedy top-1 parity vs the oracle is still
+    # asserted on the exact fp32 path below.
+    from jlm_tpu.ops.quant import quantize_params
+
+    qp = quantize_params(params)
+    engine = BeamDecoder(qp, lexicon, vocab, config.replace(int8_mxu=True),
+                         precision="default")
     # 512-lattice chunks: the tunneled host link costs ~30 ms per result
     # fetch — at 128-lattice chunks that was ~half of steady-state time.
     stream = (kanas * 11)[:512]
@@ -121,8 +132,11 @@ def main():
     lstm_fl = 2 * S * B * (E + H) * 4 * H
     head_fl = 2 * S * B * H * V
     tflops = t_bucket * (lstm_fl + head_fl) / tpu_dt / 1e12
-    log(f"achieved {tflops:.1f} TFLOP/s = {100 * tflops / 197:.1f}% of "
-        f"v5e bf16 peak (197)")
+    # USEFUL-work MFU: counts only live beam rows (B = beam_pad = 10, no
+    # padding waste since r3) — r1/r2 counted 16 padded rows, inflating
+    # the percentage relative to the same chars/s.
+    log(f"achieved {tflops:.1f} TFLOP/s useful = {100 * tflops / 197:.1f}% "
+        f"of v5e bf16 peak (197); int8-MXU head runs at 2x that rate")
 
     # --- parity: beam-1 fp32 engine must reproduce the oracle's exact
     # greedy paths (top-1 path identity, the BASELINE north-star check) ----
@@ -136,12 +150,16 @@ def main():
     log(f"greedy parity {exact}/{len(kanas)} (top-1 path identity vs oracle)")
     assert exact == len(kanas), "greedy path-identity parity failed"
 
-    # beam-10 must never score below greedy (search-quality sanity)
+    # beam-10 must never score below greedy (search-quality sanity).  The
+    # headline engine runs int8 weights, so the greedy referee is the
+    # QUANTIZED oracle (exact dequant math); the int8-MXU activation
+    # quantization perturbs scores by ~1e-2, hence the tolerance.
+    orc_q = OracleDecoder(OracleLM(qp, greedy_cfg), lexicon, vocab, greedy_cfg)
     better = sum(
-        r[0].score >= o.score - 1e-3
-        for r, o in zip(results, oracle_results)
+        r[0].score >= orc_q.decode(k)[0].score - 0.1
+        for k, r in zip(kanas, results)
     )
-    log(f"beam>=greedy score on {better}/{len(kanas)} sentences")
+    log(f"beam>=greedy score on {better}/{len(kanas)} sentences (int8 oracle)")
 
     print(
         json.dumps(

@@ -260,8 +260,9 @@ def main(argv=None):
     # ---- config 5 trained-weight quality (VERDICT r1 #8) -------------------
     if args.exp5 and args.data5:
         from jlm_tpu.data.io import load_dataset
+        from jlm_tpu.data.synthetic_ctx import generate_test_set_ctx
         from jlm_tpu.eval import evaluate_conversion
-        from jlm_tpu.eval.ceiling import bayes_ceiling
+        from jlm_tpu.eval.ceiling import bayes_ceiling_ctx
         from jlm_tpu.train import load_checkpoint
 
         vocab_t, *_ = load_dataset(args.data5)
@@ -270,16 +271,19 @@ def main(argv=None):
         cfg_t = cfg_t.replace(beam_width=10, n_best_max=1)
         eng_t = BeamDecoder(params_t, lex_t, vocab_t, cfg_t,
                             precision="default")
-        tests_t = generate_test_set(200, seed=777)
+        # the checkpoint is expected to be trained on the CONTEXT-DEPENDENT
+        # corpus (data/synthetic_ctx.py) — the quality claims are only
+        # testable there (VERDICT r2 missing #1)
+        tests_t = generate_test_set_ctx(200, seed=777)
         rep_t = evaluate_conversion(eng_t, tests_t)
-        ceil = bayes_ceiling(tests_t)
+        ceil = bayes_ceiling_ctx(tests_t)
         report["configs"]["5_2layer_100k_streaming"]["trained_quality"] = {
             "top1_acc": round(rep_t.sentence_accuracy, 3),
             "char_acc": round(rep_t.char_accuracy, 3),
             "bayes_top1_ceiling": round(ceil["top1_ceiling"], 3),
-            "note": "word choice is context-free given the slot in the "
-                    "synthetic generator; accuracy at/near the ceiling "
-                    "means corpus-limited, not undertrained",
+            "note": "topic-conditioned corpus: the gap to the exact "
+                    "ceiling measures context exploitation; n-gram "
+                    "baselines sit at 0.43/0.54 (QUALITY.json)",
         }
         log(f"config5 trained: top1 {rep_t.sentence_accuracy:.3f} vs Bayes ceiling "
             f"{ceil['top1_ceiling']:.3f}, char {rep_t.char_accuracy:.3f}")
