@@ -43,35 +43,50 @@ def _round_up(x: int, m: int) -> int:
 _CHUNK_V = 256  # fp32 logits materialize this many columns at a time
 
 
-def _pick_tiles(B, D, V, w_itemsize, tile_v):
-    """(tile_r, tile_v) under the scoped-VMEM budget.
+def _pick_tiles(B, D, V, itemsize, tile_v, kind):
+    """Per-KERNEL (tile_r, tile_v) under a 12 MB scoped-VMEM budget.
 
-    r3 rework (mirrors ops/project.py): the dominant HBM cost is the
-    weight matrix re-streamed once per ROW sweep, so the LARGEST fitting
-    row tile wins; large tiles fit because logits materialize only a
-    ``_CHUNK_V``-column slice at a time.  The dh backward also holds a
-    [tr, D] fp32 accumulator; the dw backward a resident [D, tv] fp32
-    output — both included in the budget below (worst case of the three
-    kernels)."""
-    budget = 10 * 1024 * 1024  # headroom for DMA double-buffering
-    for tr_try in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
-        if tr_try > _round_up(B, 8) and tr_try > 8:
-            continue
-        for tv_try in (2048, 1024, 512, 256):
-            tvc = min(tv_try, _round_up(V, 128))
-            ck = min(_CHUNK_V, tvc)
-            need = (
-                2 * D * tvc * w_itemsize  # double-buffered W tile
-                + 2 * D * tvc * 4  # resident dw output (bwd K2) fp32
-                + 6 * tvc * 4  # scale/bias/db tiles
-                + 2 * tr_try * D * 4  # h block, double-buffered
-                + tr_try * D * 4  # dh accumulator (bwd K1)
-                + 2 * tr_try * ck * 4  # logits chunk + temp
-                + 10 * tr_try * 128 * 4  # y/g/lse in + m/s/t out (dbl)
-            )
-            if need <= budget:
-                return (tr_try, tvc)
-    return (8, 256)
+    The three CE kernels have different working sets, so sharing one tile
+    choice (r3's first cut) forced the smallest-common tile and doubled
+    weight re-streaming at the 100k head (measured: fused CE regressed
+    from 34.8 to 41.5 ms/step).  ``itemsize`` is the compute dtype's (the
+    wrapper pre-casts W and h, so bf16 training streams half the bytes):
+
+    - ``fwd``/``dh`` re-stream the whole weight matrix once per ROW sweep
+      -> maximize tile_r first;
+    - ``dw`` (vocab-outer grid) streams W once but re-reads the h rows
+      once per VOCAB sweep -> maximize tile_v first.
+    """
+    budget = 12 * 1024 * 1024
+    trs = (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8)
+    tvs = (2048, 1024, 512, 256)
+
+    def need(tr, tv):
+        ck = min(_CHUNK_V, tv)
+        n = (
+            2 * D * tv * itemsize  # double-buffered W tile
+            + 6 * tv * 4  # scale + bias tiles
+            + 2 * tr * D * itemsize  # h block, double-buffered
+            + 2 * tr * ck * 4  # logits chunk + temp
+        )
+        if kind == "fwd":
+            n += 8 * tr * 128 * 4  # y in + m/s/t out, double-buffered
+        elif kind == "dh":
+            n += 6 * tr * 128 * 4 + 2 * tr * D * 4  # y/g/lse + dh out
+        else:  # dw
+            n += 6 * tr * 128 * 4 + 2 * D * tv * 4 + 4 * tv * 4
+        return n
+
+    outer, inner = (trs, tvs) if kind in ("fwd", "dh") else (tvs, trs)
+    for a in outer:
+        for b in inner:
+            tr, tv = (a, b) if kind in ("fwd", "dh") else (b, a)
+            if tr > _round_up(B, 8) and tr > 8:
+                continue
+            tvc = min(tv, _round_up(V, 128))
+            if need(tr, tvc) <= budget:
+                return tr, tvc
+    return 8, 256
 
 
 def _tile_logits(h_ref, w_ref, scale_ref, b_ref, compute_dtype, quantized):
@@ -213,10 +228,18 @@ def _ce_bwd_dw_kernel(
         db_out_ref[:, c0:c0 + ck] += jnp.sum(gp, axis=0, keepdims=True)
 
 
-def _prep(h, weight, scale, bias, targets, tile_v):
+def _prep(h, weight, scale, bias, targets, tile_v, compute_dtype, kind):
     B, D = h.shape
     V = weight.shape[1]
-    tr, tv = _pick_tiles(B, D, V, weight.dtype.itemsize, tile_v)
+    quantized_in = scale is not None
+    if not quantized_in:
+        # Pre-cast W and h to the compute dtype: the kernels' matmuls ran
+        # in compute_dtype anyway (per-chunk VPU casts), so this only
+        # halves the HBM streaming in bf16 training.
+        weight = weight.astype(compute_dtype)
+    h = h.astype(compute_dtype)
+    tr, tv = _pick_tiles(B, D, V, jnp.dtype(compute_dtype).itemsize, tile_v,
+                         kind)
     tr = min(tr, _round_up(B, 8))
     V_pad = _round_up(V, tv)
     B_pad = _round_up(B, tr)
@@ -243,7 +266,7 @@ def _ce_fwd_impl(h, weight, scale, bias, targets, *, tile_v, compute_dtype,
                  interpret):
     B = h.shape[0]
     (hp, wp, sp, bp, y2, tr, tv, B_pad, V_pad, quantized) = _prep(
-        h, weight, scale, bias, targets, tile_v
+        h, weight, scale, bias, targets, tile_v, compute_dtype, "fwd"
     )
     D = hp.shape[1]
     m, s, t = pl.pallas_call(
@@ -282,7 +305,7 @@ def _ce_bwd_impl(h, weight, scale, bias, targets, lse, g, *, tile_v,
                  compute_dtype, interpret):
     B = h.shape[0]
     (hp, wp, sp, bp, y2, tr, tv, B_pad, V_pad, quantized) = _prep(
-        h, weight, scale, bias, targets, tile_v
+        h, weight, scale, bias, targets, tile_v, compute_dtype, "dh"
     )
     D = hp.shape[1]
     aux = jnp.zeros((B_pad, 128), jnp.float32)
@@ -308,6 +331,11 @@ def _ce_bwd_impl(h, weight, scale, bias, targets, lse, g, *, tile_v,
         interpret=interpret,
     )(y2, g2, lse2, hp, wp, sp, bp)
 
+    (hp, wp, sp, bp, y2, tr, tv, B_pad, V_pad, quantized) = _prep(
+        h, weight, scale, bias, targets, tile_v, compute_dtype, "dw"
+    )
+    g2 = jnp.zeros((B_pad, 128), jnp.float32).at[:B, 0].set(g)
+    lse2 = jnp.zeros((B_pad, 128), jnp.float32).at[:B, 0].set(lse)
     dw, db = pl.pallas_call(
         functools.partial(_ce_bwd_dw_kernel, tile_v=tv,
                           compute_dtype=compute_dtype, quantized=quantized),
