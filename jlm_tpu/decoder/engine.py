@@ -182,6 +182,7 @@ def make_pallas_forward(
     ``interpret`` defaults to True off-TPU so the path stays CPU-testable.
     """
     from jlm_tpu.models.lstm import embed
+    from jlm_tpu.ops.cand_dot import cand_dot
     from jlm_tpu.ops.lstm_cell import lstm_cell_step
     from jlm_tpu.ops.project import project_lse
 
@@ -239,15 +240,14 @@ def make_pallas_forward(
             int8_mxu=int8_mxu, tile_r=tile_r,
         )  # [S*B, 1]
         h3 = h_top.reshape(S, B, -1)
-        raw = (
-            jnp.einsum(
-                "sbh,sch->sbc",
-                h3.astype(compute_dtype),
-                payload["cols"],
-                precision=precision,
-                preferred_element_type=jnp.float32,
-            )
-            + payload["bias"][:, None, :]
+        # Per-sentence candidate scoring as a Pallas kernel: the batched
+        # [B=10,H]x[H,C1] einsum underfills the MXU and measured
+        # 0.77 ms/frame in XLA at S=512 (~0.4 TFLOP/s).
+        raw = cand_dot(
+            h3.astype(compute_dtype),
+            payload["cols"],
+            payload["bias"],
+            interpret=interpret,
         )  # [S, B, C+1]
         logp = raw - lse.reshape(S, B, 1)
         return logp[:, :, :-1], logp[:, :, -1], state

@@ -360,3 +360,21 @@ def test_lstm_cell_step(R, E, H, dtype):
     np.testing.assert_allclose(np.asarray(c2), np.asarray(c_ref), atol=atol)
     np.testing.assert_allclose(np.asarray(h2, np.float32),
                                np.asarray(h_ref), atol=atol)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_cand_dot(dtype):
+    """Per-sentence candidate-scoring kernel vs the einsum reference."""
+    from jlm_tpu.ops.cand_dot import cand_dot, cand_dot_ref
+
+    rng = np.random.default_rng(11)
+    S, B, C1, H = 12, 10, 65, 128  # deliberately non-multiple of gs
+    h3 = jnp.asarray(rng.normal(size=(S, B, H)).astype(np.float32) * 0.3,
+                     dtype)
+    cols = jnp.asarray(rng.normal(size=(S, C1, H)).astype(np.float32) * 0.3,
+                       dtype)
+    bias = jnp.asarray(rng.normal(size=(S, C1)).astype(np.float32) * 0.1)
+    out = cand_dot(h3, cols, bias, gs=8, interpret=True)
+    ref = cand_dot_ref(h3, cols, bias)
+    atol = 1e-4 if dtype == jnp.float32 else 0.15
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=atol)
