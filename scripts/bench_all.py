@@ -65,14 +65,16 @@ def main(argv=None):
     tests = generate_test_set(50, seed=777)
     kanas = [k for k, _ in tests]
     n_chars = sum(len(k) for k in kanas)
-    mult = 1 if args.quick else 3
+    mult = 1 if args.quick else 11
     reps = 1 if args.quick else 3
     report = {"device": str(jax.devices()[0]), "ts": time.time(), "configs": {}}
 
     def tpu_throughput(engine, stream_mult=mult):
         # streaming regime (pipelined dispatch; matches bench.py): steady
-        # state is device-limited, not host-round-trip-limited
-        stream = (kanas * stream_mult)[: 64 if stream_mult == 1 else 128]
+        # state is device-limited, not host-round-trip-limited.  512-lattice
+        # chunks since r3 — the engine's best regime (128-chunks leave the
+        # per-frame fixed costs under-amortized; r2 used 128).
+        stream = (kanas * stream_mult)[: 64 if stream_mult == 1 else 512]
         stream_chars = sum(len(k) for k in stream)
         engine.decode_batch(stream, n_best=1)  # compile+warm
         t0 = time.time()
