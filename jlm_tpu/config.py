@@ -127,6 +127,13 @@ class Config:
         behavior) made every row-proportional cost in the frame step 60%
         more expensive for beam_width=10.  Even keeps ``S·B`` a multiple
         of 8 for any bucketed S >= 4.
+
+        SHAPE-BREAK NOTE (round 3): changing this rule changes every
+        beam-row cache/payload shape.  Incremental-session snapshots
+        record ``beam_pad`` and refuse to resume under a different value
+        (``IncrementalDecoder.load_session``); any other serialized
+        ``[.., beam_pad, ..]`` state from an older build must be
+        re-generated.
         """
         return max(8, self.beam_width + (self.beam_width % 2))
 

@@ -608,6 +608,12 @@ class IncrementalDecoder:
             "kana": self.kana,
             "base": self._base,
             "committed": self._committed,
+            # shape contract: every cached array is laid out with
+            # beam_pad rows (which changed 16 -> 10 for beam 10 in round
+            # 3); record it so resume under a different build fails loud
+            # instead of mis-indexing (ADVICE r3).
+            "beam_pad": self.config.beam_pad,
+            "beam_width": self.config.beam_width,
             "frames": [
                 [(n.word_id, n.start, n.end, n.display) for n in fr]
                 for fr in self._frames[: T + 1]
@@ -622,6 +628,14 @@ class IncrementalDecoder:
 
         with np.load(path) as z:
             meta = json.loads(bytes(z["meta"]).decode())
+            saved_pad = meta.get("beam_pad")
+            if saved_pad is not None and saved_pad != self.config.beam_pad:
+                raise ValueError(
+                    f"session snapshot was saved with beam_pad={saved_pad} "
+                    f"(beam_width={meta.get('beam_width')}); this decoder "
+                    f"uses beam_pad={self.config.beam_pad} — cache/payload "
+                    "shapes are incompatible, re-type the session"
+                )
             self.kana = meta["kana"]
             self._base = meta.get("base", 0)
             self._committed = [

@@ -91,7 +91,13 @@ def _proj_kernel(
     m_run = m_out_ref[:, :1]
     s_run = s_out_ref[:, :1]
     for c0 in range(0, tile_v, chunk_v):
-        w_c = w_ref[:, c0 : c0 + chunk_v]
+        # Actual chunk width this iteration: the padded vocab tile need not
+        # be a multiple of chunk_v (e.g. a D-softmax block padded to 384
+        # with chunk_v=256 leaves a 128-wide remainder), and every slice
+        # plus the candidate iota below must agree on the width or the
+        # dot_general shapes mismatch at trace time.
+        ck = min(chunk_v, tile_v - c0)
+        w_c = w_ref[:, c0 : c0 + ck]
         if quantized and int8_mxu:
             # NATIVE int8 MXU path: weights stay int8 all the way to the
             # systolic array (int8xint8 -> int32 runs at 2x the bf16 rate on
@@ -101,15 +107,15 @@ def _proj_kernel(
             logits = (
                 acc.astype(jnp.float32)
                 * hs_ref[:, :1]
-                * scale_ref[0, c0 : c0 + chunk_v][None, :]
-                + b_ref[0, c0 : c0 + chunk_v][None, :]
-            )  # [TR, chunk] fp32
+                * scale_ref[0, c0 : c0 + ck][None, :]
+                + b_ref[0, c0 : c0 + ck][None, :]
+            )  # [TR, ck] fp32
         else:
             if quantized:
                 # int8 chunk -> fp32 dequant (per-column scale) -> compute
                 w = (
                     w_c.astype(jnp.float32)
-                    * scale_ref[0, c0 : c0 + chunk_v][None, :]
+                    * scale_ref[0, c0 : c0 + ck][None, :]
                 ).astype(compute_dtype)
             else:
                 # fp weights arrive pre-cast (bf16 in speed mode): the
@@ -121,8 +127,8 @@ def _proj_kernel(
                     w,
                     preferred_element_type=jnp.float32,
                 )
-                + b_ref[0, c0 : c0 + chunk_v][None, :]
-            )  # [TR, chunk] fp32
+                + b_ref[0, c0 : c0 + ck][None, :]
+            )  # [TR, ck] fp32
 
         # online logsumexp, updated per chunk
         m_new = jnp.maximum(m_run, jnp.max(logits, axis=1, keepdims=True))
@@ -136,7 +142,7 @@ def _proj_kernel(
         # decode dims it's ~4% of kernel FLOPs spent multiplying by zeros.
         if not skip_cand:
             col = jax.lax.broadcasted_iota(
-                jnp.int32, (chunk_v, cand_out_ref.shape[1]), 0
+                jnp.int32, (ck, cand_out_ref.shape[1]), 0
             )
             onehot = (
                 col + v * tile_v + c0 == cand_ref[0, :][None, :]

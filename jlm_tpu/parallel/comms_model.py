@@ -35,10 +35,11 @@ from jlm_tpu.config import Config
 # effective numbers, not theoretical link peaks):
 #   ICI: 4 links x 400 Gbps/link bidirectional -> ~100 GB/s effective
 #        per-chip for ring collectives inside a pod slice.
-#   DCN: ~25 GB/s per host (100 GbE-class NIC x2), shared by the host's
-#        chips when a collective crosses slice boundaries.
+#   DCN: 100 GbE-class NIC x2 per host = 25 GB/s RAW; we model 12.5 GB/s
+#        effective (x0.5 for protocol overhead + sharing across the
+#        host's chips when a collective crosses slice boundaries).
 ICI_GBPS = 100.0
-DCN_GBPS = 12.5
+DCN_GBPS = 12.5  # effective; raw NIC ceiling is ~25 GB/s per host
 
 
 def decode_collective_bytes_per_frame(
@@ -108,5 +109,8 @@ def decode_scaling_projection(
         "comm_ms_per_frame": t_comm_ms,
         "speedup_vs_1chip": speedup,
         "eff_vs_ideal": speedup / n_vocab,
-        "eff_data_axis": 1.0,
+        # MODELED, not measured: zero wire bytes during the scan makes the
+        # data axis linear in this model; real-hardware confirmation needs
+        # a multi-chip slice (unavailable here).
+        "eff_data_axis_modeled": 1.0,
     }

@@ -241,9 +241,20 @@ def main(argv=None):
     # measured per-frame device time of config 2's scan and the head's
     # share of it (ablation: scripts/profile_decode_split.py at S=512)
     S_model = 512
-    frame_ms = 1e3 * (sum(len(k) for k in (kanas * 11)[:512])
-                      / max(cps2, 1e-9)) / 16
-    head_frac = 0.55  # lse head share of the frame (ablation split)
+    model_kanas = (kanas * 11)[:512]
+    # frame count from the engine's own time-bucket rule (ADVICE r3: a
+    # hardcoded 16 silently mis-computes if the test-set length
+    # distribution changes)
+    n_frames = min(
+        BeamDecoder._bucket(max(len(k) for k in model_kanas)),
+        cfg2.max_kana_len,
+    )
+    frame_ms = 1e3 * (sum(len(k) for k in model_kanas)
+                      / max(cps2, 1e-9)) / n_frames
+    # lse-head share of the frame: measured by profile_decode_split.py at
+    # S=512 on v5e (round-3 run; re-derive with that script when the frame
+    # composition changes)
+    head_frac = 0.55
     scaling = {
         "note": "analytic ring-allreduce model over the exact per-frame "
                 "psum payloads of sharded_head.py; data-axis scaling is "

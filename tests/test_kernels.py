@@ -107,6 +107,33 @@ def test_project_candidates_unaligned_vocab():
     np.testing.assert_allclose(np.asarray(out)[:, 3], np.asarray(out)[:, 4])
 
 
+def test_project_candidates_remainder_chunk():
+    """Padded vocab tile NOT a multiple of chunk_v=256 (e.g. V=300 -> tile
+    384): the last 128-wide chunk must slice weights/scales/bias and build
+    the candidate iota at the remainder width (ADVICE r3: full-width iota
+    vs clamped weight slice crashed at trace time)."""
+    rng = np.random.default_rng(7)
+    B, H, V, C = 4, 128, 300, 9
+    h = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    w_f = rng.normal(size=(H, V)).astype(np.float32) * 0.1
+    b = jnp.asarray(rng.normal(size=(V,)).astype(np.float32) * 0.01)
+    cand = jnp.asarray([0, 1, 299, 150, 257, 255, 256, 42, 299], jnp.int32)
+    out = project_candidates(h, jnp.asarray(w_f), None, b, cand,
+                             tile_v=512, interpret=True)
+    ref = project_candidates_ref(h, jnp.asarray(w_f), None, b, cand)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    # quantized variant exercises the scale-slice width too
+    q = quantize_weight(w_f, axis=0)
+    out_q = project_candidates(
+        h, jnp.asarray(q["q"]), jnp.asarray(q["scale"]), b, cand,
+        tile_v=512, interpret=True,
+    )
+    ref_q = project_candidates_ref(
+        h, jnp.asarray(q["q"]), jnp.asarray(q["scale"]), b, cand
+    )
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(ref_q), atol=1e-4)
+
+
 def test_project_candidates_normalization():
     """exp(logp) over ALL vocab ids sums to 1 — lse is global."""
     rng = np.random.default_rng(3)

@@ -292,7 +292,7 @@ def test_comms_model_consistency():
     slow = decode_scaling_projection(cfg, S, 8.0, 0.55, n_vocab=4, gbps=12.5)
     assert fast["speedup_vs_1chip"] > slow["speedup_vs_1chip"] > 1.0
     assert 0 < fast["eff_vs_ideal"] <= 1.0
-    assert fast["eff_data_axis"] == 1.0
+    assert fast["eff_data_axis_modeled"] == 1.0
 
 
 def test_sampled_softmax_data_parallel(tiny_config, encoded):
