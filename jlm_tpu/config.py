@@ -70,9 +70,13 @@ class Config:
     # Native int8 MXU decode head: int8 weights feed the systolic array
     # directly (int8xint8 -> int32 at 2x the bf16 rate on v5e) with per-row
     # activation quantization in-kernel.  Scores gain ~1e-2-scale activation
-    # quantization error vs the exact dequant path (which remains the
-    # default and the parity reference).
-    int8_mxu: bool = False
+    # quantization error vs the exact dequant path (bound pinned by
+    # tests/test_kernels.py::test_int8_mxu_score_error_bound; beam-10 path
+    # identity asserted at 50 sentences in bench.py).  DEFAULT since round
+    # 4 — it is the measured-best head in-engine (r3: 50.1k vs 46.6k
+    # chars/s dequant) — and a no-op unless int8-quantized weights are
+    # loaded; set False to force the exact dequant head for parity work.
+    int8_mxu: bool = True
 
     # --- decoding (SURVEY.md §4.5-4.7) ---
     beam_width: int = 10

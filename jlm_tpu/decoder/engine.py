@@ -182,7 +182,7 @@ def make_pallas_forward(
     ``interpret`` defaults to True off-TPU so the path stays CPU-testable.
     """
     from jlm_tpu.models.lstm import embed
-    from jlm_tpu.ops.cand_dot import cand_dot
+    from jlm_tpu.ops.frame_step import cell_cand_step
     from jlm_tpu.ops.lstm_cell import lstm_cell_step
     from jlm_tpu.ops.project import project_lse
 
@@ -219,12 +219,16 @@ def make_pallas_forward(
     def forward(params, words, state, payload):
         S, B = words.shape
         x = embed(params, words.reshape(S * B))
-        # Fused Pallas LSTM cell per layer (gate tensors never hit HBM —
-        # the XLA cell ran ~10 VPU passes over [S·B, 4H] and measured
-        # 1.17 ms/frame at flagship dims, ~9x its MXU time).
+        # Fused Pallas LSTM cells (gate tensors never hit HBM — the XLA
+        # cell ran ~10 VPU passes over [S·B, 4H] and measured 1.17 ms/frame
+        # at flagship dims, ~9x its MXU time).  The LAST layer's cell is
+        # fused with the per-sentence candidate scoring (round-4 frame
+        # fusion: h_top never round-trips HBM between cell and cand, one
+        # dispatch fewer — the frame is now row-kernel + lse-kernel).
         c, h = state
+        lstm_c = params["_decode"]["lstm_c"]
         new_c, new_h = [], []
-        for l, layer in enumerate(params["_decode"]["lstm_c"]):
+        for l, layer in enumerate(lstm_c[:-1]):
             c_l, h_l = lstm_cell_step(
                 x, h[l], c[l], layer["W"], layer["b"], config.forget_bias,
                 compute_dtype=compute_dtype, interpret=interpret,
@@ -232,23 +236,20 @@ def make_pallas_forward(
             new_c.append(c_l)
             new_h.append(h_l.astype(jnp.float32))
             x = h_l
-        h_top = x  # [S*B, H] compute dtype
+        last = lstm_c[-1]
+        c_l, h_top, raw = cell_cand_step(
+            x, h[-1], c[-1], last["W"], last["b"],
+            payload["cols"], payload["bias"], B, config.forget_bias,
+            compute_dtype=compute_dtype, interpret=interpret,
+        )  # raw [S, B, C+1]
+        new_c.append(c_l)
+        new_h.append(h_top.astype(jnp.float32))
         state = (jnp.stack(new_c), jnp.stack(new_h))
         lse = project_lse(
             h_top, params["_decode"]["head_c"], config,
             tile_v=tile_v, compute_dtype=compute_dtype, interpret=interpret,
             int8_mxu=int8_mxu, tile_r=tile_r,
         )  # [S*B, 1]
-        h3 = h_top.reshape(S, B, -1)
-        # Per-sentence candidate scoring as a Pallas kernel: the batched
-        # [B=10,H]x[H,C1] einsum underfills the MXU and measured
-        # 0.77 ms/frame in XLA at S=512 (~0.4 TFLOP/s).
-        raw = cand_dot(
-            h3.astype(compute_dtype),
-            payload["cols"],
-            payload["bias"],
-            interpret=interpret,
-        )  # [S, B, C+1]
         logp = raw - lse.reshape(S, B, 1)
         return logp[:, :, :-1], logp[:, :, -1], state
 
@@ -722,6 +723,19 @@ class BeamDecoder:
             b *= 2
         return b
 
+    @staticmethod
+    def _t_bucket(n: int) -> int:
+        """Pad frame counts to multiples of 4 (min 4).
+
+        Finer than the power-of-two sentence-batch buckets: device time is
+        LINEAR in the scanned frame count (each frame is a fixed-cost step
+        at a given S), so rounding a max length of 9 up to 16 wastes ~40%
+        of the scan.  Multiples of 4 bound the distinct compiled programs
+        at ``max_kana_len/4`` per batch shape while keeping the waste
+        under 3 frames.
+        """
+        return max(4, -(-n // 4) * 4)
+
     def _pack(self, kanas: List[str]):
         """Bucket-pad, build lattices (native if available), time-bucket."""
         n_real = len(kanas)
@@ -735,10 +749,10 @@ class BeamDecoder:
                 for k in kanas_padded
             ]
             packed, lengths = pack_lattice_batch(lattices)
-        # Time bucketing: scan only as many frames as the batch needs
-        # (power-of-two buckets, capped at max_kana_len) — typical IME
-        # inputs are ~10 kana, a 62-step scan would waste ~5x device time.
-        t_bucket = min(self._bucket(int(lengths.max())), self.config.max_kana_len)
+        # Time bucketing: scan only as many frames as the batch needs,
+        # capped at max_kana_len — typical IME inputs are ~10 kana, a
+        # 62-step scan would waste ~5x device time.
+        t_bucket = min(self._t_bucket(int(lengths.max())), self.config.max_kana_len)
         return packed[:, :t_bucket], lengths
 
     def _upload(self, x: np.ndarray):
@@ -810,7 +824,8 @@ class BeamDecoder:
         return self.materialize(kanas, packed, out, n_best)
 
     def decode_stream(
-        self, kanas: List[str], chunk_size: int = 128, n_best: int = 1
+        self, kanas: List[str], chunk_size: int = 128, n_best: int = 1,
+        sort_by_length: bool = True,
     ) -> List[List[DecodeResult]]:
         """Pipelined streaming conversion of a long sentence stream.
 
@@ -819,14 +834,33 @@ class BeamDecoder:
         k+1's host-side lattice build, so steady-state throughput is set by
         device time per chunk, not by the host-link round trip (~30 ms on
         tunneled backends — comparable to the whole device scan).
+
+        ``sort_by_length`` groups similar-length sentences into the same
+        chunk (results are returned in the ORIGINAL order regardless): a
+        chunk's scan runs ``t_bucket(max length in chunk)`` frames, so
+        mixing a 14-kana sentence into a chunk of 8-kana ones makes every
+        sentence pay 16 frames.  Length-grouped chunks cut total scanned
+        frames by ~35% on IME-typical length distributions — the standard
+        throughput-serving batching move; per-sentence results are
+        identical either way (each lattice is independent).
         """
+        if sort_by_length and len(kanas) > 1:
+            order = sorted(range(len(kanas)), key=lambda i: len(kanas[i]))
+        else:
+            order = list(range(len(kanas)))
         chunks = [
-            kanas[i:i + chunk_size] for i in range(0, len(kanas), chunk_size)
+            order[i:i + chunk_size] for i in range(0, len(order), chunk_size)
         ]
-        inflight = [(c, *self.decode_batch_async(c)) for c in chunks]
-        results: List[List[DecodeResult]] = []
-        for c, packed, out in inflight:
-            results.extend(self.materialize(c, packed, out, n_best))
+        inflight = [
+            ([kanas[i] for i in idxs], idxs) for idxs in chunks
+        ]
+        inflight = [
+            (c, idxs, *self.decode_batch_async(c)) for c, idxs in inflight
+        ]
+        results: List[Optional[List[DecodeResult]]] = [None] * len(kanas)
+        for c, idxs, packed, out in inflight:
+            for i, r in zip(idxs, self.materialize(c, packed, out, n_best)):
+                results[i] = r
         return results
 
     def decode_long(self, kana: str, n_best: int = 1) -> List[DecodeResult]:

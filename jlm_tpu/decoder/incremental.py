@@ -203,36 +203,128 @@ def _keystroke_step(
     return caches, packed_out
 
 
-def _speculative_step(
+def _prime_step(
     params,
     score_cache, lse_cache, eos_cache, c_cache, h_cache, htop_cache,
     pos,  # int32 scalar: the speculated end position
     node_word,  # int32 [K, N]: frame nodes for K hypothetical next kana
     node_start,  # int32 [K, N]
     node_mask,  # bool [K, N]
-    probe_pos,  # int32 [K, Q]: each hypothesis' own next-position probes
+    probe_pos,  # int32 [K, Q]
     probe_wid,  # int32 [K, Q]
     probe_mask,  # bool [K, Q]
     *,
     config: Config,
     precision: str,
 ):
-    """Frame rows for K speculative next keystrokes in ONE device call.
-
-    vmapped over the kana hypotheses (caches broadcast): at beam_pad-sized
-    batches the step is latency-bound, so K hypotheses cost ~the same wall
-    time as one — the speculation that hits makes the next push a pure
-    cache-commit + fetch (no LM forward on the critical path).  Each
-    hypothesis carries its own continuation probes so a HIT's payload
-    already contains the next prediction ranking (no extra RPC).
-    """
-    return jax.vmap(
+    """Speculation WITHOUT a typed frame: seeds a fresh/rolled/popped
+    session so the very first keystroke can hit.  Off the typing critical
+    path (dispatched at reset/roll/pop); ranking comes from the host
+    (static prior or custom predictor — there are no probe scores yet)."""
+    _rows, packed = jax.vmap(
         lambda nw, ns, nm, pp, pw, pm: _frame_rows(
             params, score_cache, lse_cache, eos_cache, c_cache, h_cache,
             htop_cache, nw, ns, nm, pos, pp, pw, pm,
             config=config, precision=precision,
         )
     )(node_word, node_start, node_mask, probe_pos, probe_wid, probe_mask)
+    return packed  # [K, 4B+Q]
+
+
+def _unified_step(
+    params,
+    score_cache, lse_cache, eos_cache, c_cache, h_cache, htop_cache,
+    pos,  # int32 scalar: the typed character's end position (1-based)
+    node_word,  # int32 [N] nodes ending at pos (the TYPED char's frame)
+    node_start,  # int32 [N]
+    node_mask,  # bool [N]
+    probe_pos,  # int32 [Q] continuation probes of the typed prefix
+    probe_wid,  # int32 [Q]
+    probe_mask,  # bool [Q]
+    probe_char,  # int32 [Q] candidate-char row (< A) each probe witnesses
+    spec_nw,  # int32 [A, N] next-frame nodes for EVERY candidate next kana
+    spec_ns,  # int32 [A, N]
+    spec_nm,  # bool [A, N]
+    spec_pp,  # int32 [A, Q] each candidate's own continuation probes
+    spec_pw,  # int32 [A, Q]
+    spec_pm,  # bool [A, Q]
+    spec_ok,  # bool [A] candidate rows actually populated
+    char_prior,  # fp32 [A] host-side fallback ranking (far below real
+    #   probe scores in LM mode; the actual ranking in custom-predictor
+    #   mode where no probes are scored)
+    *,
+    K: int,
+    config: Config,
+    precision: str,
+):
+    """ONE device call per keystroke: commit + predict + speculate.
+
+    Round-4 unified speculative step (VERDICT r3 #2).  The round-3 design
+    dispatched a separate vmapped speculative call after each keystroke;
+    on tunneled backends every extra dispatch costs ~30 ms, which made
+    speculation a measured net LOSS in zero-think-time typing (137.9 vs
+    27.4 ms median).  This function does everything in one dispatch:
+
+      1. the typed char's frame extension + cache commit (`_frame_rows`),
+      2. continuation-probe scoring for the typed prefix,
+      3. next-kana ranking ON DEVICE: per-candidate-char best probe score
+         via a one-hot segment max (``probe_char`` maps probes to
+         candidate rows),
+      4. gathers the top-``K`` candidates' host-prepared node/probe
+         tensors and runs their frames against the POST-commit caches —
+         the next keystroke's full payload (backpointers, finals, its own
+         probe ranking), computed before it is typed.
+
+    The host passes tensors for ALL ``A`` candidate chars and learns which
+    ``K`` the device chose from the returned ``topk_idx`` — so prediction,
+    ranking, and speculation cost zero extra RPCs, and a HIT answers the
+    next keystroke from the previous call's payload with no device work on
+    the critical path.
+    """
+    NEG = jnp.float32(-1e30)
+    B = config.beam_pad
+    Q = probe_wid.shape[0]
+    A = spec_nw.shape[0]
+
+    rows, packed_t = _frame_rows(
+        params, score_cache, lse_cache, eos_cache, c_cache, h_cache,
+        htop_cache, node_word, node_start, node_mask,
+        pos, probe_pos, probe_wid, probe_mask,
+        config=config, precision=precision,
+    )
+    caches = _commit_rows(
+        score_cache, lse_cache, eos_cache, c_cache, h_cache, htop_cache,
+        pos, rows,
+    )
+
+    # On-device next-kana ranking: best probe score per candidate char,
+    # with the host prior as the floor (it carries custom-predictor order
+    # and breaks trie-order ties for chars no probe witnessed).
+    p_best = jax.lax.bitcast_convert_type(packed_t[4 * B:], jnp.float32)
+    onehot = probe_char[:, None] == jnp.arange(A)[None, :]  # [Q, A]
+    char_scores = jnp.max(
+        jnp.where(onehot, p_best[:, None], NEG), axis=0
+    )  # [A]
+    char_scores = jnp.maximum(char_scores, char_prior)
+    char_scores = jnp.where(spec_ok, char_scores, NEG)
+    _topk_scores, topk_idx = jax.lax.top_k(char_scores, K)
+
+    # Speculative frames for the chosen K, against the committed caches.
+    take = lambda a: jnp.take(a, topk_idx, axis=0)
+    spec_rows, spec_packed = jax.vmap(
+        lambda nw, ns, nm, pp, pw, pm: _frame_rows(
+            params, *caches, nw, ns, nm, pos + 1, pp, pw, pm,
+            config=config, precision=precision,
+        )
+    )(take(spec_nw), take(spec_ns), take(spec_nm),
+      take(spec_pp), take(spec_pw), take(spec_pm))
+    del spec_rows  # hit frames are recomputed as the next call's typed frame
+
+    # One flat int32 payload: typed payload | topk idx | K spec payloads.
+    packed_all = jnp.concatenate(
+        [packed_t, topk_idx.astype(jnp.int32), spec_packed.reshape(-1)]
+    )
+    return caches, packed_all
 
 
 class IncrementalDecoder:
@@ -264,10 +356,14 @@ class IncrementalDecoder:
         self._step = jax.jit(
             functools.partial(_keystroke_step, config=config, precision=precision)
         )
-        # Speculative lookahead: after each keystroke, pre-decode the next
-        # frame for the K most likely next kana in one batched device call;
-        # a hit makes the next push a cache-commit + fetch (the LM forward
-        # is off the critical path).  K=0 disables.
+        # Speculative lookahead (round-4 UNIFIED design, VERDICT r3 #2):
+        # every keystroke issues exactly ONE device call that (a) commits
+        # the typed frame, (b) scores continuation probes, (c) ranks next
+        # kana on-device, and (d) pre-computes the full payload for the K
+        # most likely next keystrokes.  A predicted keystroke ("hit") is
+        # answered from the PREVIOUS call's already-fetched payload with
+        # zero device work on the critical path; the call it dispatches is
+        # fetched lazily at the following keystroke.  K=0 disables.
         self.speculate = int(speculate)
         # Next-kana predictor (feeds speculation):
         #   None      -> LM-driven (default): walk the lexicon's reading-
@@ -287,14 +383,20 @@ class IncrementalDecoder:
             next_char_predictor if callable(next_char_predictor) else None
         )
         self._Q = 96  # padded (position, word) probe count per step
+        self._A = 16  # padded candidate-char rows in the unified spec table
         if self.speculate > 0:
-            self._spec_step = jax.jit(
+            assert self.speculate <= self._A
+            self._unified = jax.jit(
                 functools.partial(
-                    _speculative_step, config=config, precision=precision
+                    _unified_step, K=self.speculate, config=config,
+                    precision=precision,
                 )
             )
-            self._commit = jax.jit(_commit_rows)
-        self._spec: dict = {}
+            self._prime_jit = jax.jit(
+                functools.partial(
+                    _prime_step, config=config, precision=precision,
+                )
+            )
         self.spec_hits = 0
         self.spec_misses = 0
         self.reset()
@@ -389,9 +491,10 @@ class IncrementalDecoder:
         self._frames: List[List[Node]] = [[]]  # frames[j] = nodes ending at j
         self._bp: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = [None]
         self._finals: List[Optional[np.ndarray]] = [None]
-        self._spec = {}
         self._ranked_next: Optional[List[str]] = None
-        self._speculate_next()
+        self._pending = None
+        self._prefetched: dict = {}
+        self._prime()
 
     def _walk(self, pos: int, beam: int) -> Tuple[List[Tuple[str, int]], int]:
         """Backtrack beam ``beam`` from window position ``pos`` to the root;
@@ -434,8 +537,8 @@ class IncrementalDecoder:
         self._frames = [[]]
         self._bp = [None]
         self._finals = [None]
-        self._spec = {}
         self._ranked_next = None
+        self._prime()
 
     def _frame_nodes(self, pos: int, kana: Optional[str] = None) -> List[Node]:
         """Nodes ending at ``pos`` for a kana prefix (default: current).
@@ -470,55 +573,164 @@ class IncrementalDecoder:
             nw[k], ns[k], nm[k] = n.word_id, n.start, True
         return nw, ns, nm
 
-    def _speculate_next(self) -> None:
-        """Pre-decode the next frame for the top-K likely next kana.
+    def _candidate_chars(self, window_next: str) -> List[str]:
+        """Ordered candidate next-kana rows for the unified spec table.
 
-        The ranking comes from the LAST step's piggybacked probe scores
-        (``self._ranked_next``); each hypothesis ships its own
-        next-position probes, so a hit's payload already contains the
-        following prediction — the whole predict+speculate pipeline runs
-        with zero extra RPCs.
+        LM mode: every char the lexicon's prefix-continuation trie admits
+        after ``window_next`` (trie order; the DEVICE ranks them by probe
+        score).  Custom/static mode: the predictor's own order (no probes
+        are scored, so the host prior IS the ranking).
         """
-        self._spec = {}
+        A = self._A
+        if not self._lm_probes:
+            pred = (self._custom_predict or self._static_rank)
+            return list(pred(self.kana))[:A]
+        T = len(window_next)
+        M = min(self.config.max_word_len, self.lexicon.max_reading_len)
+        trie = self.lexicon.prefix_next()
+        chars: List[str] = []
+        seen = set()
+        for p in range(max(0, T - M + 1), T + 1):
+            for ch in trie.get(window_next[p:T], {}):
+                if ch not in seen and len(chars) < A:
+                    seen.add(ch)
+                    chars.append(ch)
+        for ch in self._static_rank(self.kana):  # fill remaining rows
+            if ch not in seen and len(chars) < A:
+                seen.add(ch)
+                chars.append(ch)
+        return chars
+
+    def _spec_table(self, window_next: str, chars: Optional[List[str]] = None,
+                    rows: Optional[int] = None):
+        """Host tensors for candidate next kana (the device picks K).
+
+        ``window_next`` includes the just-typed char; the table describes
+        hypothetical frames at ``len(window_next) + 1``.  All rows are
+        masked invalid when the window is full (the next push rolls
+        first).  Default ``chars``: every trie-admissible continuation
+        (the device ranks); ``rows`` defaults to the full table width A.
+        """
+        cfg = self.config
+        pos1 = len(window_next) + 1
+        A = self._A if rows is None else rows
+        N, Q = cfg.max_nodes_per_frame, self._Q
+        nw = np.full((A, N), EOS_ID, np.int32)
+        ns = np.zeros((A, N), np.int32)
+        nm = np.zeros((A, N), bool)
+        pp = np.zeros((A, Q), np.int32)
+        pw = np.full((A, Q), EOS_ID, np.int32)
+        pm = np.zeros((A, Q), bool)
+        ok = np.zeros(A, bool)
+        # Fallback prior: far below any real probe logp, descending in row
+        # order — carries predictor order in custom mode and breaks ties
+        # for probe-less chars in LM mode.
+        prior = np.full(A, -1e30, np.float32)
+        meta: List[Optional[Tuple[str, List[Node], tuple]]] = [None] * A
+        if pos1 <= cfg.max_kana_len:
+            if chars is None:
+                chars = self._candidate_chars(window_next)
+            for a, ch in enumerate(chars[:A]):
+                nodes = self._frame_nodes(pos1, window_next + ch)
+                probes = self._build_probes(window_next + ch)
+                nw[a], ns[a], nm[a] = self._nodes_tensor(nodes)
+                pp[a], pw[a], pm[a] = probes[0], probes[1], probes[2]
+                ok[a] = True
+                prior[a] = -1e20 - a
+                meta[a] = (ch, nodes, probes)
+        return {
+            "arrays": (nw, ns, nm, pp, pw, pm, ok, prior),
+            "meta": meta,
+        }
+
+    def _prime(self) -> None:
+        """Speculate the next frame with no typed frame to commit: seeds a
+        fresh / rolled / popped / resumed session so the first keystroke
+        can hit.  Host-ranked (no device probe scores exist yet)."""
+        self._pending = None
+        self._prefetched = {}
         if self.speculate <= 0:
             return
-        pos = len(self.kana) - self._base + 1
-        if pos > self.config.max_kana_len:
+        window = self.kana[self._base:]
+        if len(window) + 1 > self.config.max_kana_len:
             return
         ranked = self._ranked_next
         if ranked is None:
-            # no probe scores yet (fresh session / roll / resume): custom
-            # predictor or the static prior seeds the first speculation
             ranked = self._rank_chars([], None)
-        chars = ranked[: self.speculate]
-        if not chars:
+        K = self.speculate
+        table = self._spec_table(window, chars=ranked, rows=K)
+        if not any(m is not None for m in table["meta"]):
             return
-        window = self.kana[self._base:]
-        per_char = []
-        for ch in chars:
-            nodes = self._frame_nodes(pos, window + ch)
-            probes = self._build_probes(window + ch)
-            per_char.append((ch, nodes, self._nodes_tensor(nodes), probes))
-        nw = np.stack([t[2][0] for t in per_char])
-        ns = np.stack([t[2][1] for t in per_char])
-        nm = np.stack([t[2][2] for t in per_char])
-        pp = np.stack([t[3][0] for t in per_char])
-        pw = np.stack([t[3][1] for t in per_char])
-        pm = np.stack([t[3][2] for t in per_char])
-        rows, packed = self._spec_step(
+        nw, ns, nm, pp, pw, pm, _ok, _prior = table["arrays"]
+        packed = self._prime_jit(
             self.params, self._score, self._lse, self._eos, self._c,
-            self._h, self._htop, jnp.int32(pos),
+            self._h, self._htop, jnp.int32(len(window) + 1),
             jnp.asarray(nw), jnp.asarray(ns), jnp.asarray(nm),
             jnp.asarray(pp), jnp.asarray(pw), jnp.asarray(pm),
         )
-        # Keep DEVICE arrays (no fetch): commit/fetch happens on a hit only.
-        for k, (ch, nodes, _t, probes) in enumerate(per_char):
-            self._spec[ch] = (
-                jax.tree.map(lambda r, k=k: r[k], rows),
-                packed[k],
-                nodes,
-                probes[3],
-            )
+        self._pending = {"packed": packed, "meta": table["meta"],
+                         "kind": "prime"}
+
+    def _dispatch_unified(self, pos: int, nodes: List[Node],
+                          probes: tuple) -> None:
+        """Issue the one unified device call for a committed keystroke."""
+        window_next = self.kana[self._base:]
+        table = self._spec_table(window_next)
+        chars = [m[0] if m else None for m in table["meta"]]
+        # map each typed-frame probe to its candidate-char table row
+        probe_char = np.full(self._Q, self._A, np.int32)  # A => no row
+        for q, ch in enumerate(probes[3]):
+            if ch in chars:
+                probe_char[q] = chars.index(ch)
+        nw, ns, nm = self._nodes_tensor(nodes)
+        arrays = table["arrays"]
+        caches, packed = self._unified(
+            self.params, self._score, self._lse, self._eos, self._c,
+            self._h, self._htop, jnp.int32(pos),
+            jnp.asarray(nw), jnp.asarray(ns), jnp.asarray(nm),
+            jnp.asarray(probes[0]), jnp.asarray(probes[1]),
+            jnp.asarray(probes[2]), jnp.asarray(probe_char),
+            *(jnp.asarray(a) for a in arrays),
+        )
+        (self._score, self._lse, self._eos, self._c, self._h,
+         self._htop) = caches
+        self._pending = {"packed": packed, "meta": table["meta"],
+                         "kind": "unified"}
+
+    def _fetch_pending(self) -> None:
+        """Unpack the last dispatched call's payload into ``_prefetched``.
+
+        One host fetch, deferred from the previous (hit) keystroke to here
+        — during real typing it overlaps the user's think time entirely.
+        """
+        if self._pending is None:
+            return
+        B, Q, K = self.config.beam_pad, self._Q, self.speculate
+        stride = 4 * B + Q
+        out = np.asarray(self._pending["packed"])
+        meta = self._pending["meta"]
+        kind = self._pending["kind"]
+        self._pending = None
+        if kind == "prime":  # [K, stride]; row k is hypothesis meta[k]
+            topk = np.arange(out.shape[0])
+            payloads = out
+        else:  # flat: typed stride | topk K | K spec payloads
+            topk = out[stride:stride + K]
+            payloads = out[stride + K:].reshape(K, stride)
+        self._prefetched = {}
+        for k, a in enumerate(topk):
+            m = meta[int(a)] if 0 <= int(a) < len(meta) else None
+            if m is None:
+                continue
+            ch, nodes, probes = m
+            pay = payloads[k]
+            self._prefetched[ch] = {
+                "bp": (pay[:B], pay[B:2 * B], pay[2 * B:3 * B]),
+                "finals": pay[3 * B:4 * B].view(np.float32),
+                "probe_scores": pay[4 * B:].view(np.float32),
+                "nodes": nodes,
+                "probes": probes,
+            }
 
     def push(self, kana_char: str, n_best: int = 1) -> List[DecodeResult]:
         assert len(kana_char) == 1, "push one kana at a time"
@@ -528,17 +740,37 @@ class IncrementalDecoder:
         pos = len(self.kana) - self._base + 1
         self.kana += kana_char
 
-        hit = self._spec.pop(kana_char, None)
-        if hit is not None:
-            rows, packed_out, nodes, probe_chars = hit
-            self.spec_hits += 1
-            caches = self._commit(
-                self._score, self._lse, self._eos, self._c, self._h,
-                self._htop, jnp.int32(pos), rows,
-            )
-        else:
-            if self.speculate > 0:
+        if self.speculate > 0:
+            self._fetch_pending()
+            hit = self._prefetched.pop(kana_char, None)
+            self._prefetched = {}  # other hypotheses are now stale
+            if hit is not None:
+                # Predicted keystroke: results come from the PREVIOUS
+                # call's payload — no device work on the critical path.
+                self.spec_hits += 1
+                nodes = hit["nodes"]
+                bp, finals = hit["bp"], hit["finals"]
+                probe_scores, probe_chars = (
+                    hit["probe_scores"], hit["probes"][3]
+                )
+                typed_probes = hit["probes"]
+            else:
                 self.spec_misses += 1
+                nodes = self._frame_nodes(pos)
+                typed_probes = self._build_probes(self.kana[self._base:])
+                bp = finals = probe_scores = None
+                probe_chars = typed_probes[3]
+            self._dispatch_unified(pos, nodes, typed_probes)
+            if bp is None:
+                # miss: fetch THIS call's payload for the typed results
+                pend = self._pending
+                self._fetch_pending()
+                out = np.asarray(pend["packed"])
+                B = cfg.beam_pad
+                bp = (out[:B], out[B:2 * B], out[2 * B:3 * B])
+                finals = out[3 * B:4 * B].view(np.float32)
+                probe_scores = out[4 * B:4 * B + self._Q].view(np.float32)
+        else:
             nodes = self._frame_nodes(pos)
             nw, ns, nm = self._nodes_tensor(nodes)
             pp, pw, pm, probe_chars = self._build_probes(
@@ -550,23 +782,25 @@ class IncrementalDecoder:
                 jnp.asarray(nw), jnp.asarray(ns), jnp.asarray(nm),
                 jnp.asarray(pp), jnp.asarray(pw), jnp.asarray(pm),
             )
-        (self._score, self._lse, self._eos, self._c, self._h, self._htop) = caches
+            (self._score, self._lse, self._eos, self._c, self._h,
+             self._htop) = caches
+            B = cfg.beam_pad
+            out = np.asarray(packed_out)  # single device fetch per keystroke
+            bp = (out[:B], out[B:2 * B], out[2 * B:3 * B])
+            finals = out[3 * B:4 * B].view(np.float32)
+            probe_scores = (
+                out[4 * B:].view(np.float32) if self._lm_probes else None
+            )
 
         if len(self._frames) <= pos:
             self._frames.append(nodes)
             self._bp.append(None)
             self._finals.append(None)
         self._frames[pos] = nodes
-        B = self.config.beam_pad
-        out = np.asarray(packed_out)  # single device fetch per keystroke
-        self._bp[pos] = (out[:B], out[B:2 * B], out[2 * B:3 * B])
-        self._finals[pos] = out[3 * B:4 * B].view(np.float32)
-        probe_scores = (
-            out[4 * B:].view(np.float32) if self._lm_probes else None
-        )
+        self._bp[pos] = bp
+        self._finals[pos] = finals
         res = self.results(n_best)
         self._ranked_next = self._rank_chars(probe_chars, probe_scores)
-        self._speculate_next()  # overlaps with the user's next keypress
         return res
 
     def pop(self) -> None:
@@ -581,9 +815,10 @@ class IncrementalDecoder:
                 "cannot backspace across a committed window boundary"
             )
         self.kana = self.kana[:-1]
-        self._spec = {}  # speculation was for the longer prefix
-        self._ranked_next = None  # probe scores were for the longer prefix
-        self._speculate_next()
+        # in-flight speculation was for the longer prefix: discard it and
+        # re-prime for the shortened one
+        self._ranked_next = None
+        self._prime()
 
     # --- session checkpoint/resume (SURVEY.md §7: decode streams are
     # resumable — the full session state is (c, h) caches + beams) --------
@@ -661,9 +896,8 @@ class IncrementalDecoder:
                 bp = z[f"bp{pos}"]
                 self._bp[pos] = (bp[0], bp[1], bp[2])
                 self._finals[pos] = z[f"fin{pos}"]
-        self._spec = {}
         self._ranked_next = None
-        self._speculate_next()
+        self._prime()
 
     def results(self, n_best: int = 1) -> List[DecodeResult]:
         T = len(self.kana) - self._base

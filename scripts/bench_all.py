@@ -143,16 +143,18 @@ def main(argv=None):
 
     # ---- config 4: int8 + incremental --------------------------------------
     qp = quantize_params(params)
-    eng4 = BeamDecoder(qp, lexicon, vocab, cfg2, precision="default")
+    # exact-dequant path (int8_mxu=False override: since round 4 the native
+    # int8-MXU head is the config DEFAULT)
+    eng4 = BeamDecoder(qp, lexicon, vocab, cfg2.replace(int8_mxu=False),
+                       precision="default")
     cps4, res4 = tpu_throughput(eng4)
     orc4 = OracleDecoder(OracleLM(qp, cfg2), lexicon, vocab, cfg2)
     par4 = sum(
         r[0].segments == orc4.decode(k)[0].segments
         for k, r in zip(kanas[:10], res4[:10])
     )
-    # native int8 MXU variant (int8 weights AND activations on the MXU)
-    eng4n = BeamDecoder(qp, lexicon, vocab, cfg2.replace(int8_mxu=True),
-                        precision="default")
+    # native int8 MXU (int8 weights AND activations on the MXU) — the default
+    eng4n = BeamDecoder(qp, lexicon, vocab, cfg2, precision="default")
     cps4n, res4n = tpu_throughput(eng4n)
     par4n = sum(
         r[0].segments == orc4.decode(k)[0].segments
@@ -185,6 +187,23 @@ def main(argv=None):
             inc_s.push(ch)
             lat_s.append(time.time() - t0)
     spec_tot = max(1, inc_s.spec_hits + inc_s.spec_misses)
+    # HIT-keystroke latency separately: a unified-step hit answers from the
+    # previous call's payload — with real typing gaps its cost is pure host
+    # bookkeeping (the deferred fetch overlaps think time); zero-think-time
+    # medians below still pay that fetch on the next push.
+    hit_lat = []
+    inc_h = IncrementalDecoder(qp, lexicon, vocab, cfg2, precision="default",
+                               speculate=8)
+    for k in kanas[6:9]:
+        inc_h.reset()
+        for ch in k:
+            before = inc_h.spec_hits
+            time.sleep(0.03)  # modest think time lets the pipeline drain
+            t0 = time.time()
+            inc_h.push(ch)
+            dt = time.time() - t0
+            if inc_h.spec_hits > before:
+                hit_lat.append(dt)
     report["configs"]["4_int8_incremental"] = {
         "chars_per_sec_batched": round(cps4, 1),
         "vs_baseline": round(cps4 / base, 2),
@@ -198,10 +217,15 @@ def main(argv=None):
         "keystroke_ms_median_speculative": round(
             sorted(lat_s)[len(lat_s) // 2] * 1e3, 1
         ),
-        "spec_note": "LM-driven next-kana predictor (lexicon prefix trie + "
-                     "cached-beam scoring); untrained weights here — the "
-                     "trained small-model trace measures 63-79% at K=4-8 "
-                     "(QUALITY.json harness)",
+        "keystroke_ms_median_spec_hit_30ms_think": round(
+            sorted(hit_lat)[len(hit_lat) // 2] * 1e3, 1
+        ) if hit_lat else None,
+        "spec_note": "round-4 UNIFIED speculative step: one dispatch + one "
+                     "(deferred) fetch per keystroke; commit, probe scoring, "
+                     "on-device next-kana ranking, and K-way speculation in "
+                     "one device call.  LM-driven predictor (lexicon prefix "
+                     "trie + cached-beam probes); untrained weights here — "
+                     "trained traces measure 63-79% hit at K=4-8",
     }
     log(f"config4 int8: {cps4:.1f} chars/s, keystroke "
         f"{report['configs']['4_int8_incremental']['keystroke_ms_median']}ms")

@@ -141,6 +141,50 @@ def main():
     fwd_pallas_full = make_pallas_forward(config, compute_dtype=jnp.bfloat16,
                                           interpret=False)
 
+    # round-3-style split path (separate cell + cand_dot + lse kernels) for
+    # A/B against the round-4 fused cell_cand frame kernel
+    def make_split_forward():
+        from jlm_tpu.ops.cand_dot import cand_dot
+        from jlm_tpu.ops.lstm_cell import lstm_cell_step
+        from jlm_tpu.ops.project import project_lse as plse
+
+        def forward(p, words, state, payload):
+            Sx, Bx = words.shape
+            x = embed(p, words.reshape(Sx * Bx))
+            c, h = state
+            new_c, new_h = [], []
+            for l, layer in enumerate(p["_decode"]["lstm_c"]):
+                c_l, h_l = lstm_cell_step(
+                    x, h[l], c[l], layer["W"], layer["b"], config.forget_bias,
+                    compute_dtype=jnp.bfloat16, interpret=False)
+                new_c.append(c_l)
+                new_h.append(h_l.astype(jnp.float32))
+                x = h_l
+            h_top = x
+            state = (jnp.stack(new_c), jnp.stack(new_h))
+            lse = plse(h_top, p["_decode"]["head_c"], config,
+                       compute_dtype=jnp.bfloat16, interpret=False)
+            h3 = h_top.reshape(Sx, Bx, -1)
+            raw = cand_dot(h3.astype(jnp.bfloat16), payload["cols"],
+                           payload["bias"], interpret=False)
+            logp = raw - lse.reshape(Sx, Bx, 1)
+            return logp[:, :, :-1], logp[:, :, -1], state
+
+        forward.prepare = fwd_pallas_full.prepare
+        forward.compute_dtype = jnp.bfloat16
+        return forward
+
+    # int8 variants (quantized weights): native MXU vs in-kernel dequant
+    from jlm_tpu.ops.quant import quantize_params
+
+    params_q = dict(jax.tree.map(jnp.asarray, quantize_params(
+        jax.tree.map(np.asarray, init_params(config)))))
+    params_q["_decode"] = build_decode_head(params_q, config, jnp.bfloat16)
+    fwd_int8_mxu = make_pallas_forward(config, compute_dtype=jnp.bfloat16,
+                                       interpret=False, int8_mxu=True)
+    fwd_int8_deq = make_pallas_forward(config, compute_dtype=jnp.bfloat16,
+                                       interpret=False, int8_mxu=False)
+
     def fwd_jnp_full(p, words, state, cand_words):
         return full_softmax_forward(p, config, words, state, cand_words,
                                     precision="default")
@@ -152,6 +196,9 @@ def main():
         ("lstm_lse_fp32w", fwd_lstm_lse_fp32w),
         ("lstm_cand", fwd_lstm_cand),
         ("pallas_full", fwd_pallas_full),
+        ("pallas_split_r3", make_split_forward()),
+        ("int8_mxu", fwd_int8_mxu),
+        ("int8_dequant", fwd_int8_deq),
         ("jnp_full", fwd_jnp_full),
     ]
 
@@ -166,22 +213,23 @@ def main():
     results = {}
     CH = 8
     for name, fwd in variants:
+        p_use = params_q if name.startswith("int8") else params
         fn = jax.jit(functools.partial(_decode_scan, config=config,
                                        forward_fn=fwd))
         t0 = time.time()
-        fetch(fn(params, packed, lengths))
+        fetch(fn(p_use, packed, lengths))
         compile_s = time.time() - t0
 
         def t_single():
             t0 = time.time()
-            fetch(fn(params, packed, lengths))
+            fetch(fn(p_use, packed, lengths))
             return time.time() - t0
 
         def t_chain():
             t0 = time.time()
             out = None
             for _ in range(CH):
-                out = fn(params, packed, lengths)
+                out = fn(p_use, packed, lengths)
             fetch(out)
             return time.time() - t0
 

@@ -74,6 +74,34 @@ def test_batch_decode_matches_single(engine):
         )
 
 
+def test_stream_sorted_chunks_restore_order(engine):
+    """decode_stream with length sorting returns results in ORIGINAL order
+    and identical to unsorted chunking (chunks regroup by length but each
+    lattice is independent)."""
+    kanas = [
+        "きょうはいいてんき", "ゑ", "あめがふる", "はしをみる",
+        "かみとかわ", "とてもさむいです", "きょうはいい",
+    ]
+    sorted_res = engine.decode_stream(kanas, chunk_size=3, n_best=1)
+    plain_res = engine.decode_stream(
+        kanas, chunk_size=3, n_best=1, sort_by_length=False
+    )
+    assert len(sorted_res) == len(plain_res) == len(kanas)
+    for kana, rs, rp in zip(kanas, sorted_res, plain_res):
+        assert [r.segments for r in rs] == [r.segments for r in rp], kana
+        single = engine.decode(kana, n_best=1)
+        assert rs[0].segments == single[0].segments, kana
+
+
+def test_t_bucket_rule():
+    """Frame buckets are multiples of 4 (min 4), capped by the caller."""
+    assert BeamDecoder._t_bucket(1) == 4
+    assert BeamDecoder._t_bucket(4) == 4
+    assert BeamDecoder._t_bucket(5) == 8
+    assert BeamDecoder._t_bucket(9) == 12
+    assert BeamDecoder._t_bucket(14) == 16
+
+
 def test_quantized_parity_tolerance(tiny_params, tiny_config, lexicon, vocab):
     """int8 engine vs int8 oracle: identical paths, scores match closely
 
@@ -126,7 +154,10 @@ def test_pallas_forward_int8_parity(tiny_params, tiny_config, lexicon, vocab):
     from jlm_tpu.decoder.engine import make_pallas_forward
 
     qp = quantize_params(tiny_params)
-    fwd = make_pallas_forward(tiny_config, tile_v=128)
+    # int8_mxu=False: this test pins the EXACT dequant path (the parity
+    # reference); the int8-MXU default adds activation-quant tolerance and
+    # is covered by test_pallas_forward_int8_mxu_top1 below.
+    fwd = make_pallas_forward(tiny_config, tile_v=128, int8_mxu=False)
     eng = BeamDecoder(qp, lexicon, vocab, tiny_config, forward_fn=fwd)
     orc = OracleDecoder(OracleLM(qp, tiny_config), lexicon, vocab, tiny_config)
     r_e, r_o = eng.decode("かみとかわ")[0], orc.decode("かみとかわ")[0]

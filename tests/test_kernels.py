@@ -76,6 +76,31 @@ def test_project_candidates_int8_mxu_native():
     )
 
 
+def test_int8_mxu_score_error_bound():
+    """Pins the activation-quantization score-error bound of the DEFAULT
+    int8-MXU head (config.int8_mxu=True since round 4): at the engine's
+    H=512 with unit-scale activations, candidate log-probs deviate < 0.05
+    from the exact-dequant path.  If this bound drifts, the beam-parity
+    tolerance in bench.py and the oracle referee tolerances are wrong."""
+    rng = np.random.default_rng(11)
+    B, H, V, C = 32, 512, 4096, 65
+    h = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    q = quantize_weight(rng.normal(size=(H, V)).astype(np.float32) * 0.05,
+                        axis=0)
+    b = jnp.asarray(rng.normal(size=(V,)).astype(np.float32) * 0.01)
+    cand = jnp.asarray(rng.integers(0, V, C).astype(np.int32))
+    mxu = project_candidates(
+        h, jnp.asarray(q["q"]), jnp.asarray(q["scale"]), b, cand,
+        tile_v=1024, interpret=True, int8_mxu=True,
+    )
+    deq = project_candidates(
+        h, jnp.asarray(q["q"]), jnp.asarray(q["scale"]), b, cand,
+        tile_v=1024, interpret=True, int8_mxu=False,
+    )
+    err = float(np.max(np.abs(np.asarray(mxu) - np.asarray(deq))))
+    assert err < 0.05, f"int8-MXU activation-quant error {err} exceeds bound"
+
+
 def test_project_lse_int8_mxu_matches_dequant():
     from jlm_tpu.config import Config
     from jlm_tpu.ops.project import project_lse
@@ -387,6 +412,32 @@ def test_lstm_cell_step(R, E, H, dtype):
     np.testing.assert_allclose(np.asarray(c2), np.asarray(c_ref), atol=atol)
     np.testing.assert_allclose(np.asarray(h2, np.float32),
                                np.asarray(h_ref), atol=atol)
+
+
+def test_cell_cand_fused():
+    """Fused cell+candidate frame kernel == cell ref + einsum ref, at both
+    beam-pad row counts (10 = flagship, 8 = tiny-config minimum)."""
+    from jlm_tpu.ops.frame_step import cell_cand_ref, cell_cand_step
+
+    rng = np.random.default_rng(21)
+    for S, B, E, H, C1 in [(12, 10, 64, 128, 17), (4, 8, 32, 64, 9)]:
+        R = S * B
+        x = jnp.asarray(rng.normal(size=(R, E)).astype(np.float32))
+        h = jnp.asarray(rng.normal(size=(R, H)).astype(np.float32) * 0.1)
+        c = jnp.asarray(rng.normal(size=(R, H)).astype(np.float32) * 0.1)
+        W = jnp.asarray(rng.normal(size=(E + H, 4 * H)).astype(np.float32) * 0.05)
+        b = jnp.asarray(rng.normal(size=(4 * H,)).astype(np.float32) * 0.01)
+        cols = jnp.asarray(rng.normal(size=(S, C1, H)).astype(np.float32) * 0.1)
+        cbias = jnp.asarray(rng.normal(size=(S, C1)).astype(np.float32) * 0.01)
+        c_k, h_k, cand_k = cell_cand_step(
+            x, h, c, W, b, cols, cbias, B, 1.0, interpret=True
+        )
+        c_r, h_r, cand_r = cell_cand_ref(x, h, c, W, b, cols, cbias, B, 1.0)
+        np.testing.assert_allclose(np.asarray(c_k), np.asarray(c_r), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(h_k), np.asarray(h_r), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(cand_k), np.asarray(cand_r), atol=1e-4
+        )
 
 
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
