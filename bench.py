@@ -111,7 +111,7 @@ def main():
     t0 = time.time()
     results = engine.decode_batch(stream, n_best=1)
     log(f"tpu compile+first run: {time.time() - t0:.1f}s")
-    reps = 6
+    reps = 12
     # Warm every length-sorted chunk shape once (distinct T buckets compile
     # separately) so the timed passes measure steady state, not compiles.
     engine.decode_stream(stream * reps, chunk_size=512, n_best=1)

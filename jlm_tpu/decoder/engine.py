@@ -96,6 +96,37 @@ def full_softmax_forward(
     return cand_logp, lp[:, :, EOS_ID], state
 
 
+def make_full_softmax_forward(config: Config, precision="highest") -> ForwardFn:
+    """The jnp reference forward with the ``score_hidden`` hook attached.
+
+    ``score_hidden(params, h_top [S, B, H], cand_words [S, C])`` scores a
+    candidate table directly from an already-computed top hidden state —
+    used by multi-root ``decode_long`` seeding, where chunk k+1 re-scores
+    its own lookahead against chunk k's exported boundary beams (no LSTM
+    step: the beams' post-word states are the seeds).
+    """
+    from jlm_tpu.models.lstm import head_logits
+
+    def forward(params, words, state, cand_words):
+        return full_softmax_forward(
+            params, config, words, state, cand_words, precision=precision
+        )
+
+    def score_hidden(params, h_top, cand_words):
+        S, B, H = h_top.shape
+        logits = head_logits(
+            params, config, h_top.reshape(S * B, H), precision
+        ).astype(jnp.float32)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        logp = logits - (m + jnp.log(
+            jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True)))
+        lp = logp.reshape(S, B, -1)
+        return jnp.take_along_axis(lp, cand_words[:, None, :], axis=2)
+
+    forward.score_hidden = score_hidden
+    return forward
+
+
 def build_decode_head(params, config: Config, compute_dtype=jnp.float32):
     """One-time decode-side head prep: transposed columns + cast weights.
 
@@ -182,7 +213,7 @@ def make_pallas_forward(
     ``interpret`` defaults to True off-TPU so the path stays CPU-testable.
     """
     from jlm_tpu.models.lstm import embed
-    from jlm_tpu.ops.frame_step import cell_cand_step
+    from jlm_tpu.ops.cand_dot import cand_dot
     from jlm_tpu.ops.lstm_cell import lstm_cell_step
     from jlm_tpu.ops.project import project_lse
 
@@ -219,16 +250,17 @@ def make_pallas_forward(
     def forward(params, words, state, payload):
         S, B = words.shape
         x = embed(params, words.reshape(S * B))
-        # Fused Pallas LSTM cells (gate tensors never hit HBM — the XLA
-        # cell ran ~10 VPU passes over [S·B, 4H] and measured 1.17 ms/frame
-        # at flagship dims, ~9x its MXU time).  The LAST layer's cell is
-        # fused with the per-sentence candidate scoring (round-4 frame
-        # fusion: h_top never round-trips HBM between cell and cand, one
-        # dispatch fewer — the frame is now row-kernel + lse-kernel).
+        # Fused Pallas LSTM cell per layer (gate tensors never hit HBM —
+        # the XLA cell ran ~10 VPU passes over [S·B, 4H] and measured
+        # 1.17 ms/frame at flagship dims, ~9x its MXU time).  Round-4 note:
+        # a single kernel fusing the last cell WITH the candidate dots
+        # (ops/frame_step.py) was built and measured IN-SCAN at 5.28 vs
+        # 5.00 ms/frame for this split structure (profile_frame_combos.py,
+        # int8 head) — the candidate columns in VMEM shrink the cell's row
+        # tile and cost more than the saved dispatch, so the split wins.
         c, h = state
-        lstm_c = params["_decode"]["lstm_c"]
         new_c, new_h = [], []
-        for l, layer in enumerate(lstm_c[:-1]):
+        for l, layer in enumerate(params["_decode"]["lstm_c"]):
             c_l, h_l = lstm_cell_step(
                 x, h[l], c[l], layer["W"], layer["b"], config.forget_bias,
                 compute_dtype=compute_dtype, interpret=interpret,
@@ -236,24 +268,52 @@ def make_pallas_forward(
             new_c.append(c_l)
             new_h.append(h_l.astype(jnp.float32))
             x = h_l
-        last = lstm_c[-1]
-        c_l, h_top, raw = cell_cand_step(
-            x, h[-1], c[-1], last["W"], last["b"],
-            payload["cols"], payload["bias"], B, config.forget_bias,
-            compute_dtype=compute_dtype, interpret=interpret,
-        )  # raw [S, B, C+1]
-        new_c.append(c_l)
-        new_h.append(h_top.astype(jnp.float32))
+        h_top = x  # [S*B, H] compute dtype
         state = (jnp.stack(new_c), jnp.stack(new_h))
         lse = project_lse(
             h_top, params["_decode"]["head_c"], config,
             tile_v=tile_v, compute_dtype=compute_dtype, interpret=interpret,
             int8_mxu=int8_mxu, tile_r=tile_r,
         )  # [S*B, 1]
+        h3 = h_top.reshape(S, B, -1)
+        # Per-sentence candidate scoring as a Pallas kernel: the batched
+        # [B=10,H]x[H,C1] einsum underfills the MXU and measured
+        # 0.77 ms/frame in XLA at S=512 (~0.4 TFLOP/s); in-scan at round-4
+        # shapes the kernel and the einsum tie (5.00 vs 4.98 ms/frame).
+        raw = cand_dot(
+            h3.astype(compute_dtype),
+            payload["cols"],
+            payload["bias"],
+            interpret=interpret,
+        )  # [S, B, C+1]
         logp = raw - lse.reshape(S, B, 1)
         return logp[:, :, :-1], logp[:, :, -1], state
 
+    def score_hidden(params, h_top, payload):
+        """Candidate logp from an existing top hidden state (no LSTM step).
+
+        Multi-root ``decode_long`` seeding: ``h_top [S, B, H]`` are chunk
+        k's exported boundary-beam hidden states; ``payload`` is the
+        prepare-hook slice for the seeded position.  One cand_dot + one
+        lse kernel call over all S·B rows.
+        """
+        S, B, H = h_top.shape
+        raw = cand_dot(
+            h_top.astype(compute_dtype),
+            payload["cols"],
+            payload["bias"],
+            interpret=interpret,
+        )  # [S, B, C+1]
+        lse = project_lse(
+            h_top.reshape(S * B, H), params["_decode"]["head_c"], config,
+            tile_v=tile_v, compute_dtype=compute_dtype, interpret=interpret,
+            int8_mxu=int8_mxu,
+        )
+        logp = raw - lse.reshape(S, B, 1)
+        return logp[:, :, :-1]
+
     forward.prepare = prepare
+    forward.score_hidden = score_hidden
     forward.compute_dtype = compute_dtype
     return forward
 
@@ -353,10 +413,16 @@ def _decode_scan(
     lengths,  # int32 [S]
     root=None,  # optional carried beam from a previous chunk (chain mode):
     #   {"words" [S, B], "score" [S, B], "c"/"h" [L, S*B, H]}
+    seed=None,  # optional multi-root seed rows from a previous chunk:
+    #   {"score" [S, M, B], "c"/"h" [S, M, B, L, H]} — row i seeds local
+    #   position i+1 (decode_long overlap-save; requires seed_m = M)
     *,
     config: Config,
     forward_fn: ForwardFn,
     chain: bool = False,
+    seed_m: int = 0,
+    export_rings: bool = False,
+    walk: bool = True,
 ):
     # T_max here is the BATCH's bucketed time bound (<= config.max_kana_len):
     # short inputs scan far fewer frames than the global static maximum.
@@ -368,6 +434,7 @@ def _decode_scan(
     assert config.max_word_len < R, (
         f"max_word_len={config.max_word_len} must be < ring size {R}"
     )
+    assert seed_m == 0 or (seed is not None and seed_m == config.max_word_len)
     NEG = jnp.float32(-1e30)
 
     word, start, cidx, mask, look_w, look_m = _unpack_lattice(packed, config)
@@ -375,36 +442,6 @@ def _decode_scan(
     # Per-position payload for the forward (default: the candidate ids).
     prepare = getattr(forward_fn, "prepare", None)
     payload = prepare(params, look_w) if prepare is not None else look_w
-    payload_0 = jax.tree.map(lambda a: a[:, 0], payload)
-    payload_xs = jax.tree.map(lambda a: jnp.moveaxis(a[:, 1:], 1, 0), payload)
-
-    # --- position-0 root beam ---
-    # Default: path 0 alive, fed <eos> from zero state.  Chain mode feeds a
-    # carried beam from the previous chunk of a long input instead (every
-    # beam slot alive with its own score/state/last word) — the TPU-native
-    # answer to inputs longer than the static scan bound (the reference's
-    # uncapped Python lists have no length limit; chunk boundaries force a
-    # word boundary, documented in BeamDecoder.decode_long).
-    if root is None:
-        c0 = jnp.zeros((L, S * B, H), jnp.float32)
-        h0 = jnp.zeros((L, S * B, H), jnp.float32)
-        words0 = jnp.full((S, B), EOS_ID, jnp.int32)
-        score0 = jnp.full((S, B), NEG).at[:, 0].set(0.0)
-    else:
-        c0, h0 = root["c"], root["h"]
-        words0 = root["words"]
-        score0 = root["score"]
-    cand0, _eos0, (c1, h1) = forward_fn(params, words0, (c0, h0), payload_0)
-    cand0 = jnp.where(look_m[:, 0][:, None, :], cand0, NEG)
-    cand0 = jnp.where(score0[:, :, None] > NEG / 2, cand0, NEG)
-
-    # Ring caches indexed [S, pos % R, ...]; states stored as
-    # [S, R, B, L, H] so a single flat (ring_row*B + path) take_along_axis
-    # gathers survivors.  Only the last max_word_len rows are ever read, so
-    # stale rows beyond the span can never leak (masked extensions aside,
-    # starts always satisfy pos - start <= max_word_len < R).
-    score = jnp.full((S, R, B), NEG).at[:, 0].set(score0)
-    cand_cache = jnp.zeros((S, R, B, C)).at[:, 0].set(cand0)
 
     def state_to_cache(c):  # [L, S*B, H] -> [S, B, L, H]
         return jnp.moveaxis(c.reshape(L, S, B, H), 0, 2)
@@ -421,13 +458,82 @@ def _decode_scan(
         if getattr(forward_fn, "compute_dtype", None) == jnp.bfloat16
         else jnp.float32
     )
-    c_cache = jnp.zeros((S, R, B, L, H), cache_dtype).at[:, 0].set(
-        state_to_cache(c1).astype(cache_dtype)
-    )
-    h_cache = jnp.zeros((S, R, B, L, H), cache_dtype).at[:, 0].set(
-        state_to_cache(h1).astype(cache_dtype)
-    )
+
+    if seed_m == 0:
+        # --- position-0 root beam ---
+        # Default: path 0 alive, fed <eos> from zero state.  Chain mode
+        # feeds a carried beam from the previous chunk (legacy single-root
+        # chaining, still used by forwards without a score_hidden hook —
+        # forces a word boundary at the cut).
+        payload_0 = jax.tree.map(lambda a: a[:, 0], payload)
+        if root is None:
+            c0 = jnp.zeros((L, S * B, H), jnp.float32)
+            h0 = jnp.zeros((L, S * B, H), jnp.float32)
+            words0 = jnp.full((S, B), EOS_ID, jnp.int32)
+            score0 = jnp.full((S, B), NEG).at[:, 0].set(0.0)
+        else:
+            c0, h0 = root["c"], root["h"]
+            words0 = root["words"]
+            score0 = root["score"]
+        cand0, _eos0, (c1, h1) = forward_fn(
+            params, words0, (c0, h0), payload_0
+        )
+        cand0 = jnp.where(look_m[:, 0][:, None, :], cand0, NEG)
+        cand0 = jnp.where(score0[:, :, None] > NEG / 2, cand0, NEG)
+
+        # Ring caches indexed [S, pos % R, ...]; states stored as
+        # [S, R, B, L, H] so a single flat (ring_row*B + path)
+        # take_along_axis gathers survivors.  Only the last max_word_len
+        # rows are ever read, so stale rows beyond the span can never leak
+        # (masked extensions aside, starts always satisfy
+        # pos - start <= max_word_len < R).
+        score = jnp.full((S, R, B), NEG).at[:, 0].set(score0)
+        cand_cache = jnp.zeros((S, R, B, C)).at[:, 0].set(cand0)
+        c_cache = jnp.zeros((S, R, B, L, H), cache_dtype).at[:, 0].set(
+            state_to_cache(c1).astype(cache_dtype)
+        )
+        h_cache = jnp.zeros((S, R, B, L, H), cache_dtype).at[:, 0].set(
+            state_to_cache(h1).astype(cache_dtype)
+        )
+        words_last = (
+            jnp.broadcast_to(words0, (S, B)) if chain else None
+        )
+    else:
+        # --- multi-root seeding (decode_long overlap-save, SURVEY.md §4.5
+        # follow-up): local positions 1..M carry the previous chunk's
+        # beams at global positions cut-M+1..cut — scores, LSTM states,
+        # and freshly scored candidate rows for THIS chunk's lookahead
+        # (words may start in the overlap and end beyond the cut, so no
+        # word boundary is forced).  Scored via the forward's
+        # ``score_hidden`` hook from the seeds' top-layer hidden states.
+        M = seed_m
+        score_hidden = forward_fn.score_hidden
+        htop_seed = seed["h"][..., L - 1, :]  # [S, M, B, H]
+        payload_seed = jax.tree.map(
+            lambda a: a[:, 1:M + 1].reshape((S * M,) + a.shape[2:]), payload
+        )
+        cand_seed = score_hidden(
+            params, htop_seed.reshape(S * M, B, H), payload_seed
+        ).reshape(S, M, B, C)  # [S, M, B, C]
+        cand_seed = jnp.where(
+            look_m[:, 1:M + 1][:, :, None, :], cand_seed, NEG
+        )
+        cand_seed = jnp.where(
+            seed["score"][:, :, :, None] > NEG / 2, cand_seed, NEG
+        )
+        score = jnp.full((S, R, B), NEG).at[:, 1:M + 1].set(seed["score"])
+        cand_cache = jnp.zeros((S, R, B, C)).at[:, 1:M + 1].set(cand_seed)
+        c_cache = jnp.zeros((S, R, B, L, H), cache_dtype).at[:, 1:M + 1].set(
+            seed["c"].astype(cache_dtype)
+        )
+        h_cache = jnp.zeros((S, R, B, L, H), cache_dtype).at[:, 1:M + 1].set(
+            seed["h"].astype(cache_dtype)
+        )
+        words_last = None
     final = jnp.full((S, B), NEG)
+    payload_xs = jax.tree.map(
+        lambda a: jnp.moveaxis(a[:, seed_m + 1:], 1, 0), payload
+    )
 
     def step(carry, xs):
         score, cand_cache, c_cache, h_cache, final = carry[:5]
@@ -506,77 +612,124 @@ def _decode_scan(
         return carry_out, (src_pos, sel_p, sel_n)
 
     xs = (
-        jnp.arange(1, T_max + 1),
-        jnp.moveaxis(word, 1, 0),  # [T_max, S, N]
-        jnp.moveaxis(start, 1, 0),
-        jnp.moveaxis(mask, 1, 0),
-        jnp.moveaxis(cidx, 1, 0),
-        jnp.moveaxis(look_m[:, 1:], 1, 0),  # [T_max, S, C]
+        jnp.arange(seed_m + 1, T_max + 1),
+        jnp.moveaxis(word[:, seed_m:], 1, 0),  # [T_max - seed_m, S, N]
+        jnp.moveaxis(start[:, seed_m:], 1, 0),
+        jnp.moveaxis(mask[:, seed_m:], 1, 0),
+        jnp.moveaxis(cidx[:, seed_m:], 1, 0),
+        jnp.moveaxis(look_m[:, seed_m + 1:], 1, 0),  # [T_max - seed_m, S, C]
         payload_xs,
     )
+    T_scan = T_max - seed_m
     carry = (score, cand_cache, c_cache, h_cache, final)
     if chain:
-        carry = carry + (jnp.broadcast_to(words0, (S, B)),)
+        carry = carry + (words_last,)
         (score, _, c_cache, h_cache, final, last_words), bp = jax.lax.scan(
             step, carry, xs
         )
     else:
         (score, _, c_cache, h_cache, final), bp = jax.lax.scan(step, carry, xs)
-    bp_src, bp_p, bp_n = bp  # each [T_max, S, B]
-
-    # Device-side backtracking for the top-K beams; only compact paths are
-    # fetched (host link: ~200 ms latency per transfer, keep payload tiny).
-    if chain:
-        # chain mode walks EVERY beam slot: the host only learns which
-        # boundary beams matter after later chunks are decoded.
-        K = B
-        top_beams = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32), (S, B))
-        top_vals = final
-    else:
-        K = min(config.n_best_max, B)
-        top_vals, top_beams = jax.lax.top_k(final, K)  # [S, K]
-    bp_src_s = jnp.moveaxis(bp_src, 1, 0)  # [S, T_max, B]
+    bp_src, bp_p, bp_n = bp  # each [T_scan, S, B]
+    bp_src_s = jnp.moveaxis(bp_src, 1, 0)  # [S, T_scan, B]
     bp_p_s = jnp.moveaxis(bp_p, 1, 0)
     bp_n_s = jnp.moveaxis(bp_n, 1, 0)
 
-    def wstep(carry, _):
-        pos, bi = carry  # [S, K] each
-        p = jnp.maximum(pos - 1, 0)  # [S, K]
-        valid = pos > 0
+    out = {}
+    if walk:
+        # Device-side backtracking for the top-K beams; only compact paths
+        # are fetched (host link: ~200 ms latency per transfer, keep the
+        # payload tiny).  Walks stop at seed_m: a seeded row belongs to
+        # the previous chunk, whose own backpointers continue the path.
+        if chain:
+            # chain mode walks EVERY beam slot: the host only learns which
+            # boundary beams matter after later chunks are decoded.
+            K = B
+            top_beams = jnp.broadcast_to(
+                jnp.arange(B, dtype=jnp.int32), (S, B)
+            )
+            top_vals = final
+        else:
+            K = min(config.n_best_max, B)
+            top_vals, top_beams = jax.lax.top_k(final, K)  # [S, K]
 
-        def gather_bp(bp):  # bp [S, T_max, B] -> [S, K]
-            rows = jnp.take_along_axis(bp, p[:, :, None], axis=1)  # [S, K, B]
-            return jnp.take_along_axis(rows, bi[:, :, None], axis=2)[..., 0]
+        def wstep(carry, _):
+            pos, bi = carry  # [S, K] each
+            p = jnp.maximum(pos - 1 - seed_m, 0)  # bp row of frame pos
+            valid = pos > seed_m
 
-        node = gather_bp(bp_n_s)
-        out = jnp.where(
-            valid[:, :, None],
-            jnp.stack([pos, node], axis=-1),
-            jnp.zeros((S, K, 2), jnp.int32),
+            def gather_bp(bp):  # bp [S, T_scan, B] -> [S, K]
+                rows = jnp.take_along_axis(bp, p[:, :, None], axis=1)
+                return jnp.take_along_axis(rows, bi[:, :, None], axis=2)[..., 0]
+
+            node = gather_bp(bp_n_s)
+            out_s = jnp.where(
+                valid[:, :, None],
+                jnp.stack([pos, node], axis=-1),
+                jnp.zeros((S, K, 2), jnp.int32),
+            )
+            nxt = (
+                jnp.where(valid, gather_bp(bp_src_s), pos),
+                jnp.where(valid, gather_bp(bp_p_s), bi),
+            )
+            return nxt, out_s
+
+        init = (jnp.broadcast_to(lengths[:, None], (S, K)), top_beams)
+        (root_pos, root_beam), paths = jax.lax.scan(
+            wstep, init, None, length=T_scan
         )
-        nxt = (
-            jnp.where(valid, gather_bp(bp_src_s), pos),
-            jnp.where(valid, gather_bp(bp_p_s), bi),
+        paths = jnp.moveaxis(paths, 0, 2)  # [S, K, T_scan, 2], end-to-start
+        out.update({
+            "final_topk": top_vals,  # [S, K]
+            "paths": paths.astype(jnp.int16),  # small ints: cheap to fetch
+            # where each walked beam STOPPED: position 0 (chunk root) or a
+            # seeded row 1..M — (root_pos, root_beam) is the entry point
+            # into the previous chunk's backpointers for path stitching.
+            "root_beam": root_beam,  # [S, K]
+            "root_pos": root_pos,  # [S, K]
+            # ONE-RPC host payload: every field the host needs, packed into
+            # a single int32 array.  On tunneled backends each fetched
+            # buffer costs a ~30 ms round trip — fetching finals and paths
+            # separately (2 RPCs/chunk) rivaled the whole chunk's device
+            # time in the streaming bench.
+            "blob": jnp.concatenate(
+                [
+                    jax.lax.bitcast_convert_type(top_vals, jnp.int32)
+                    [:, :, None],
+                    root_beam[:, :, None],
+                    root_pos[:, :, None],
+                    paths.astype(jnp.int32).reshape(S, K, 2 * T_scan),
+                ],
+                axis=2,
+            ).reshape(S, K * (3 + 2 * T_scan)),
+        })
+    else:
+        # No device walk: the host stitches multi-chunk paths from the raw
+        # backpointers (decode_long is per-sentence — the arrays are tiny).
+        out["bp"] = (
+            bp_src_s.astype(jnp.int16),
+            bp_p_s.astype(jnp.int16),
+            bp_n_s.astype(jnp.int16),
         )
-        return nxt, out
-
-    init = (jnp.broadcast_to(lengths[:, None], (S, K)), top_beams)
-    (_, root_beam), paths = jax.lax.scan(wstep, init, None, length=T_max)
-    paths = jnp.moveaxis(paths, 0, 2)  # [S, K, T_max, 2], end-to-start
-
-    out = {
-        "final_topk": top_vals,  # [S, K]
-        "paths": paths.astype(jnp.int16),  # small ints: cheap to fetch
-        # each walked beam's slot at position 0 — in chain mode that IS its
-        # beam index in the previous chunk (root beams sit at position 0
-        # with path identity = slot), which is what stitches long inputs.
-        "root_beam": root_beam,  # [S, K]
-    }
+    if export_rings:
+        # Multi-root boundary export: the last max_word_len positions'
+        # beams (scores WITHOUT <eos>, full LSTM states) — already resident
+        # in the ring; rows T-M+1..T never collide since M < R.
+        M = config.max_word_len
+        rows = [(T_max - M + 1 + i) & (R - 1) for i in range(M)]
+        out["rings"] = {
+            "score": jnp.stack([score[:, r] for r in rows], axis=1),
+            "c": jnp.stack(
+                [c_cache[:, r] for r in rows], axis=1
+            ).astype(jnp.float32),  # [S, M, B, L, H]
+            "h": jnp.stack(
+                [h_cache[:, r] for r in rows], axis=1
+            ).astype(jnp.float32),
+        }
     if chain:
-        # Boundary beam for the next chunk: ring row T_max (requires every
-        # length == T_max, asserted host-side) — scores WITHOUT the <eos>
-        # rescore, per-beam LSTM states, last words, and each beam's root
-        # slot (= its beam index in the previous chunk) for path stitching.
+        # Boundary beam for the next chunk (legacy single-root chaining):
+        # ring row T_max (requires every length == T_max, asserted
+        # host-side) — scores WITHOUT the <eos> rescore, per-beam LSTM
+        # states, last words, and each beam's root slot for stitching.
         ring_T = T_max & (R - 1)
         out["chain"] = {
             "words": last_words,
@@ -584,7 +737,6 @@ def _decode_scan(
             "c": cache_to_state(c_cache[:, ring_T]).astype(jnp.float32),
             "h": cache_to_state(h_cache[:, ring_T]).astype(jnp.float32),
         }
-        out["root_beam"] = root_beam  # [S, B]
     return out
 
 
@@ -634,9 +786,7 @@ class BeamDecoder:
                 fwd = make_pallas_forward(config, compute_dtype=jnp.bfloat16)
             else:
                 # Parity mode (or CPU): fp32 jnp head, oracle-exact.
-                fwd = lambda p, w, s, cw: full_softmax_forward(
-                    p, config, w, s, cw, precision=precision
-                )
+                fwd = make_full_softmax_forward(config, precision=precision)
         else:
             fwd = forward_fn
         # Forwards with a prepare hook need the one-time transposed-head
@@ -653,6 +803,7 @@ class BeamDecoder:
         if getattr(fwd, "prepare", None) is not None and "_decode" not in self.params:
             cd = getattr(fwd, "compute_dtype", jnp.float32)
             self.params["_decode"] = build_decode_head(self.params, config, cd)
+        self._fwd = fwd
         self._decode_jit = jax.jit(
             functools.partial(_decode_scan, config=config, forward_fn=fwd)
         )
@@ -662,6 +813,10 @@ class BeamDecoder:
             functools.partial(_decode_scan, config=config, forward_fn=fwd,
                               chain=True)
         )
+        # multi-root (overlap-save) decode_long variants, built lazily:
+        # first/mid chunks export ring seeds + raw backpointers; the last
+        # chunk walks on device, stopping at seeded rows.
+        self._mr_jits: Dict[str, Any] = {}
 
     def results_from_packed(
         self, kana: str, packed_row: np.ndarray, finals: np.ndarray,
@@ -789,15 +944,53 @@ class BeamDecoder:
     def materialize(
         self, kanas: List[str], packed: np.ndarray, out, n_best: int = 1
     ) -> List[List[DecodeResult]]:
-        """Fetch one dispatched chunk's results and build surfaces."""
-        finals = self._fetch(out["final_topk"])
-        paths = self._fetch(out["paths"])
-        return [
-            self.results_from_packed(
-                kanas[i], packed[i], finals[i], paths[i], n_best
-            )
-            for i in range(len(kanas))
-        ]
+        """Fetch one dispatched chunk's results and build surfaces.
+
+        Exactly ONE device→host transfer per chunk (the packed ``blob``):
+        on tunneled backends every buffer fetch costs a full RPC round
+        trip, and two fetches per 512-sentence chunk measured ~60 ms —
+        more than the chunk's device time.
+        """
+        S, K, T_scan, _ = out["paths"].shape
+        blob = self._fetch(out["blob"]).reshape(S, K, 3 + 2 * T_scan)
+        finals = blob[:, :, 0].view(np.float32)
+        paths = blob[:, :, 3:].reshape(S, K, T_scan, 2)
+        # Vectorized path unpack: one numpy pass over the whole chunk
+        # (bit-ops per segment in a Python loop measured ~23 ms per
+        # 512-sentence chunk — the streaming pipeline's host tail).
+        n = len(kanas)
+        pos = paths[:n, :, :, 0]  # [n, K, T]
+        nodes = paths[:n, :, :, 1]
+        s_idx = np.arange(n)[:, None, None]
+        node_vals = packed[s_idx, np.maximum(pos - 1, 0), nodes]
+        words = node_vals & ((1 << _WORD_BITS) - 1)
+        starts = (node_vals >> _START_SHIFT) & 0x3F
+        valid = pos > 0
+        display = self.vocab.display
+        results: List[List[DecodeResult]] = []
+        for i in range(n):
+            res_i: List[DecodeResult] = []
+            for k in range(min(n_best, K)):
+                if finals[i, k] <= -1e29:
+                    continue
+                segs: List[Tuple[str, int]] = []
+                for t in range(T_scan):
+                    if not valid[i, k, t]:
+                        break
+                    w = int(words[i, k, t])
+                    segs.append((
+                        kanas[i][starts[i, k, t]:pos[i, k, t]]
+                        if w == UNK_ID else display(w),
+                        w,
+                    ))
+                segs.reverse()
+                res_i.append(DecodeResult(
+                    surface="".join(d for d, _ in segs),
+                    score=float(finals[i, k]),
+                    segments=segs,
+                ))
+            results.append(res_i)
+        return results
 
     def decode_batch(
         self, kanas: List[str], n_best: int = 1
@@ -866,15 +1059,162 @@ class BeamDecoder:
     def decode_long(self, kana: str, n_best: int = 1) -> List[DecodeResult]:
         """Decode an input longer than the static scan bound, in chunks.
 
-        The kana splits into ``max_kana_len``-sized chunks; each chunk's
-        scan exports its full boundary beam (scores, LSTM states, last
-        words) which seeds the next chunk's root, so LM context and scores
-        flow across the whole input.  Approximation vs the reference's
-        uncapped lattice (SURVEY.md §4.5): a word cannot SPAN a chunk
-        boundary — every ``max_kana_len``-th position is forced to be a
-        word boundary.  With max_kana_len=62 and max_word_len=5 this
-        touches only pathological inputs; scores remain exact for the
-        searched paths.  Beam states never leave the device between chunks.
+        Multi-root overlap-save (round 4, VERDICT r3 #5): consecutive
+        chunks overlap by ``max_word_len`` positions; chunk k exports its
+        beams at the last M positions (scores + LSTM states, straight from
+        the ring caches) and chunk k+1 SEEDS its ring with them, admitting
+        lattice nodes that START in the overlap — so words span chunk cuts
+        freely and the search is exactly the unchunked scan's (the
+        per-position beams are identical; tests pin >62-kana inputs to an
+        unchunked oracle decode).  Falls back to single-root chaining
+        (forced word boundary at each cut, the round-2/3 behavior) for
+        forwards without a ``score_hidden`` hook (e.g. vocab-sharded).
+        Beam states never leave the device between chunks.
+        """
+        if getattr(self._fwd, "score_hidden", None) is not None:
+            return self._decode_long_multiroot(kana, n_best)
+        return self._decode_long_chain(kana, n_best)
+
+    def _mr_jit(self, kind: str):
+        """Lazily build the multi-root jit variants."""
+        if kind not in self._mr_jits:
+            M = self.config.max_word_len
+            base = dict(config=self.config, forward_fn=self._fwd)
+            if kind == "first":
+                fn = functools.partial(
+                    _decode_scan, **base, export_rings=True, walk=False)
+            elif kind == "mid":
+                fn = functools.partial(
+                    _decode_scan, **base, seed_m=M, export_rings=True,
+                    walk=False)
+            else:  # "last"
+                fn = functools.partial(_decode_scan, **base, seed_m=M)
+            self._mr_jits[kind] = jax.jit(fn)
+        return self._mr_jits[kind]
+
+    def _pack_window(self, window: str, mask_upto: int) -> np.ndarray:
+        """Pack one chunk window's lattice, masking frames <= mask_upto
+        (overlap positions the previous chunk already searched)."""
+        if self._native is not None:
+            packed, _ = self._native.pack_batch([window])
+        else:
+            lat = build_lattice(window, self.lexicon, self.vocab, self.config)
+            packed, _ = pack_lattice_batch([lat])
+        packed = packed[:, :len(window)]
+        if mask_upto > 0:
+            packed = packed.copy()
+            packed[:, :mask_upto] = 0  # mask bit cleared => dead nodes
+        return packed
+
+    @staticmethod
+    def _walk_host(bp, entry_pos: int, entry_slot: int, seed_m: int):
+        """Backtrack one chunk on the host from (pos, slot) to its root.
+
+        ``bp`` = (src, selp, seln) arrays [T_scan, B]; returns the visited
+        (pos, node) list end-to-start plus the stop (pos, slot) — a seeded
+        row (1..M) pointing into the previous chunk, or 0 at the true
+        root.
+        """
+        src, selp, seln = bp
+        pos, b = entry_pos, entry_slot
+        steps = []
+        while pos > seed_m:
+            row = pos - 1 - seed_m
+            steps.append((pos, int(seln[row, b])))
+            pos, b = int(src[row, b]), int(selp[row, b])
+        return steps, pos, b
+
+    def _decode_long_multiroot(
+        self, kana: str, n_best: int = 1
+    ) -> List[DecodeResult]:
+        cfg = self.config
+        M, T_c = cfg.max_word_len, cfg.max_kana_len
+        stride = T_c - M
+        G = len(kana)
+        # chunk k searches global positions cut_{k-1}+1 .. cut_k
+        cuts = [T_c]
+        while cuts[-1] < G:
+            cuts.append(min(cuts[-1] + stride, G))
+        chunks = []  # (window, packed, out, seed_m)
+        seed = None
+        for k, cut in enumerate(cuts):
+            last = k == len(cuts) - 1
+            if k == 0:
+                window = kana[:cut]
+                seed_m = 0
+            else:
+                window = kana[cuts[k - 1] - M:cut]
+                seed_m = M
+            packed = self._pack_window(window, seed_m)
+            lengths = jnp.asarray([len(window)], jnp.int32)
+            if k == 0:
+                # chunk 0 always exports rings: decode_long only runs for
+                # G > T_c, so there are >= 2 chunks and chunk 0 is never
+                # the last.
+                out = self._mr_jit("first")(
+                    self.params, jnp.asarray(packed), lengths
+                )
+            elif last:
+                out = self._mr_jit("last")(
+                    self.params, jnp.asarray(packed), lengths, seed=seed
+                )
+            else:
+                out = self._mr_jit("mid")(
+                    self.params, jnp.asarray(packed), lengths, seed=seed
+                )
+            seed = out.get("rings")  # stays on device
+            chunks.append((window, packed, out, seed_m))
+
+        # --- host-side stitching across chunks ---
+        window_l, packed_l, out_l, _ = chunks[-1]
+        finals = np.asarray(out_l["final_topk"])[0]
+        paths = np.asarray(out_l["paths"])[0]  # [K, T_scan, 2]
+        root_pos = np.asarray(out_l["root_pos"])[0]
+        root_beam = np.asarray(out_l["root_beam"])[0]
+        prev_bps = [
+            tuple(np.asarray(a)[0] for a in out["bp"])
+            for _w, _p, out, _m in chunks[:-1]
+        ]
+        results = []
+        for j in range(min(n_best, len(finals))):
+            if finals[j] <= -1e29:
+                continue
+            segs = self._segments(window_l, packed_l[0], paths[j])
+            pos, slot = int(root_pos[j]), int(root_beam[j])
+            for k in range(len(chunks) - 2, -1, -1):
+                window_k, packed_k, _out, seed_m_k = chunks[k]
+                # entry position in chunk k's local coordinates
+                pos_k = len(window_k) - M + pos
+                steps, pos, slot = self._walk_host(
+                    prev_bps[k], pos_k, slot, seed_m_k
+                )
+                seg_k = []
+                for p, n in steps:
+                    node = int(packed_k[0][p - 1, n])
+                    word = node & ((1 << _WORD_BITS) - 1)
+                    start = (node >> _START_SHIFT) & 0x3F
+                    display = (
+                        window_k[start:p] if word == UNK_ID
+                        else self.vocab.display(word)
+                    )
+                    seg_k.append((display, word))
+                seg_k.reverse()
+                segs = seg_k + segs
+            results.append(
+                DecodeResult(
+                    surface="".join(d for d, _ in segs),
+                    score=float(finals[j]),
+                    segments=segs,
+                )
+            )
+        return results
+
+    def _decode_long_chain(self, kana: str, n_best: int = 1) -> List[DecodeResult]:
+        """Legacy single-root chaining: each chunk's boundary beam seeds
+        the next chunk's position-0 root, forcing a word boundary at every
+        ``max_kana_len``-th position (quantified at ~11 logp per forced
+        split in tests/test_long_input.py).  Kept for forwards without a
+        ``score_hidden`` hook.
         """
         cfg = self.config
         T_c = cfg.max_kana_len

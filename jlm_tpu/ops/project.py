@@ -167,6 +167,7 @@ def _project_block(
     tile_r: Optional[int] = None,
     int8_mxu: bool = False,
     skip_cand: bool = False,
+    chunk: int = 256,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One frequency block → raw (cand [B,C], m [B,1], s [B,1]).
 
@@ -201,7 +202,6 @@ def _project_block(
         # kernel runs DMA-serialized (measured in-engine: (1024, 1024) with
         # headroom beats (1024, 2048) without, even at 2x the weight bytes)
         budget = 10 * 1024 * 1024
-        chunk = 256
         best = None
         for tr_try in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
             if tr_try > _round_up(B, 8) and tr_try > 8:
@@ -226,7 +226,7 @@ def _project_block(
         tile_r, tile_v = best if best is not None else (8, 256)
     tv = min(tile_v, _round_up(S, 128))
     tr = min(tile_r, _round_up(B, 8))
-    chunk_v = min(256, tv)
+    chunk_v = min(chunk, tv)
     S_pad = _round_up(S, tv)
     B_pad = _round_up(B, tr)
     if B_pad != B:
@@ -386,6 +386,7 @@ def project_lse(
     interpret: bool = False,
     int8_mxu: bool = False,
     tile_r: Optional[int] = None,
+    chunk: int = 256,
 ) -> jnp.ndarray:
     """Per-row log-sum-exp of the full output projection: ``[R, 1]``.
 
@@ -408,7 +409,7 @@ def project_lse(
         _, m, s = _project_block(
             hs, w_arr, w_scale, b, no_cand,
             tile_v=tile_v, compute_dtype=compute_dtype, interpret=interpret,
-            int8_mxu=int8_mxu, skip_cand=True, tile_r=tile_r,
+            int8_mxu=int8_mxu, skip_cand=True, tile_r=tile_r, chunk=chunk,
         )
         return m, s
 

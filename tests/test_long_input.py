@@ -110,20 +110,15 @@ def test_decode_long_nbest(setup):
         assert abs(res[1].score - want) < 1e-3
 
 
-def test_decode_long_adversarial_boundary_cost(setup):
-    """Quantify the chunk-boundary approximation (VERDICT r2 weak #8).
+def test_decode_long_adversarial_boundary_exact(setup):
+    """Multi-root overlap-save kills the chunk-boundary cost (VERDICT r3
+    #5; r2/r3 measured ~11 logp for a forced split).
 
-    ``decode_long`` forces a word boundary every ``max_kana_len`` kana
-    (engine.py decode_long docstring); an input whose BEST path has a
-    multi-kana word spanning that boundary must decode to a different
-    (lower-scoring) path than the uncapped oracle.  This test constructs
-    such an input, measures the top-1 score loss, and pins that:
-
-    - the chunked score never exceeds the uncapped one (no free lunch);
-    - the loss is bounded by the forced split of ONE word (a few logp
-      units), not a runaway divergence;
-    - the non-boundary part of the path is unaffected.
-    """
+    The adversarial input places a multi-kana word ACROSS the chunk cut
+    (position 12 = max_kana_len); the round-4 multi-root seeding admits
+    words starting in the overlap, so decode_long must now match the
+    UNCAPPED oracle exactly — path identity AND score, zero boundary
+    cost."""
     cfg, vocab, lex, params, eng = setup
     from jlm_tpu.oracle import OracleDecoder, OracleLM
 
@@ -133,14 +128,11 @@ def test_decode_long_adversarial_boundary_cost(setup):
         OracleLM(params, cfg), lex, vocab, cfg.replace(max_kana_len=64)
     )
 
-    # Build an input where a multi-kana word crosses position 12
-    # (= max_kana_len): pad with single-kana words, then place a word
-    # whose reading spans the boundary.
+    # a word whose reading spans the boundary at position 12
     span_word = next(
         (r for r in lex.by_reading if len(r) >= 3), None
     )
     assert span_word is not None
-    # positions 0..10 filled with 11 single kana, span word at 11..11+len
     pad = "のははのははのははのは"[:11]
     kana = pad + span_word + "のは"
     assert len(kana) > cfg.max_kana_len
@@ -150,23 +142,47 @@ def test_decode_long_adversarial_boundary_cost(setup):
     res_long = eng.decode_long(kana, n_best=1)[0]
     res_orc = orc.decode(kana, n_best=1)[0]
 
-    # chunked search can only lose score vs the uncapped search
-    assert res_long.score <= res_orc.score + 1e-4
-    loss = res_orc.score - res_long.score
-    # the chunked path must NOT contain any word crossing the boundary
-    pos = 0
-    for disp, wid in res_long.segments:
-        ln = len(disp) if wid == 1 else len(vocab.reading(wid))
-        assert not (pos < cfg.max_kana_len < pos + ln), (
-            "decode_long emitted a boundary-crossing word"
-        )
-        pos += ln
-    # scores of the returned path are still EXACT (approximation is in the
-    # search space, not the scoring)
+    # EXACT parity with the uncapped search: same path, same score
+    assert res_long.segments == res_orc.segments, (
+        res_long.surface, res_orc.surface
+    )
+    np.testing.assert_allclose(res_long.score, res_orc.score, atol=1e-3)
+    # and the score is the true LM score of that path
     got = _oracle_score(params, cfg, [w for _, w in res_long.segments])
     np.testing.assert_allclose(res_long.score, got, atol=1e-3)
-    # bounded cost: forcing one word apart costs at most ~the word's logp
-    # mass (few units), not a divergence
-    assert loss < 25.0, f"boundary cost blew up: {loss}"
-    print(f"boundary top-1 score loss: {loss:.3f} "
-          f"(oracle path {'differs' if res_long.segments != res_orc.segments else 'matches'})")
+
+
+def test_decode_long_matches_uncapped_oracle_stream(setup):
+    """>max_kana_len inputs match an unchunked oracle decode exactly over a
+    stream of ordinary (non-adversarial) long inputs, 3+ chunks deep."""
+    cfg, vocab, lex, params, eng = setup
+    from jlm_tpu.oracle import OracleDecoder, OracleLM
+
+    orc = OracleDecoder(
+        OracleLM(params, cfg), lex, vocab, cfg.replace(max_kana_len=64)
+    )
+    tests = generate_test_set(10, seed=99)
+    for i in range(3):
+        kana = "".join(k for k, _ in tests[i * 3:(i + 1) * 3])[:30 + i * 4]
+        assert len(kana) > 2 * (cfg.max_kana_len - cfg.max_word_len)
+        res = eng.decode(kana, n_best=1)[0]
+        ref = orc.decode(kana, n_best=1)[0]
+        assert res.segments == ref.segments, (kana, res.surface, ref.surface)
+        np.testing.assert_allclose(res.score, ref.score, atol=1e-3)
+
+
+def test_decode_long_chain_fallback(setup):
+    """Forwards without a score_hidden hook fall back to single-root
+    chaining: still decodes, scores stay exact for the searched path."""
+    cfg, vocab, lex, params, eng = setup
+    from jlm_tpu.decoder.engine import full_softmax_forward
+
+    # a bare forward WITHOUT the hook
+    fwd = lambda p, w, s, cw: full_softmax_forward(p, cfg, w, s, cw)
+    eng_chain = BeamDecoder(params, lex, vocab, cfg, forward_fn=fwd)
+    tests = generate_test_set(3, seed=42)
+    kana = "".join(k for k, _ in tests)[:30]
+    res = eng_chain.decode(kana, n_best=1)[0]
+    assert res.segments
+    got = _oracle_score(params, cfg, [w for _, w in res.segments])
+    np.testing.assert_allclose(res.score, got, atol=1e-3)
