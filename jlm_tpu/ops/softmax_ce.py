@@ -262,8 +262,13 @@ def _prep(h, weight, scale, bias, targets, tile_v, compute_dtype, kind):
             quantized)
 
 
-def _ce_fwd_impl(h, weight, scale, bias, targets, *, tile_v, compute_dtype,
-                 interpret):
+def _ce_fwd_raw(h, weight, scale, bias, targets, *, tile_v, compute_dtype,
+                interpret):
+    """Per-row partial CE triple ``(m, s, t)``: running max, sumexp
+    (relative to m), and the target logit (0 when ``targets`` is out of
+    range, e.g. -1 for "this block doesn't own the target") — the
+    D-softmax per-block form; the full-head loss is the single-block
+    merge."""
     B = h.shape[0]
     (hp, wp, sp, bp, y2, tr, tv, B_pad, V_pad, quantized) = _prep(
         h, weight, scale, bias, targets, tile_v, compute_dtype, "fwd"
@@ -296,9 +301,17 @@ def _ce_fwd_impl(h, weight, scale, bias, targets, *, tile_v, compute_dtype,
         ),
         interpret=interpret,
     )(y2, hp, wp, sp, bp)
-    lse = (m[:, :1] + jnp.log(s[:, :1]))[:B, 0]
-    loss = lse - t[:B, 0]
-    return loss, lse
+    return m[:B, 0], s[:B, 0], t[:B, 0]
+
+
+def _ce_fwd_impl(h, weight, scale, bias, targets, *, tile_v, compute_dtype,
+                 interpret):
+    m, s, t = _ce_fwd_raw(
+        h, weight, scale, bias, targets,
+        tile_v=tile_v, compute_dtype=compute_dtype, interpret=interpret,
+    )
+    lse = m + jnp.log(s)
+    return lse - t, lse
 
 
 def _ce_bwd_impl(h, weight, scale, bias, targets, lse, g, *, tile_v,
@@ -411,3 +424,113 @@ def ce_loss_ref(h, weight, bias, targets):
     lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=1, keepdims=True))
     tgt = jnp.take_along_axis(logits, targets[:, None], axis=1)
     return (lse - tgt)[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# D-softmax fused CE: one kernel call per frequency block, merged lse
+# ---------------------------------------------------------------------------
+
+def _ds_slices(block_dims, mode):
+    """(start, dim) hidden-slice per block for prefix/disjoint modes."""
+    out = []
+    offset = 0
+    for d in block_dims:
+        if mode == "prefix":
+            out.append((0, d))
+        else:
+            out.append((offset, d))
+            offset += d
+    return tuple(out)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def ce_loss_fused_dsoftmax(
+    h,  # [B, H] fp32
+    weights,  # tuple of [d_k, s_k] fp block weights
+    biases,  # tuple of [s_k] fp32
+    targets,  # [B] int32
+    block_sizes: Tuple[int, ...] = (),
+    block_dims: Tuple[int, ...] = (),
+    mode: str = "prefix",
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """Per-row CE loss ``[B]`` for the D-softmax head, logits never in HBM.
+
+    VERDICT r3 #7: the fused-CE kernel previously covered only the full
+    head — config-5 training (2-layer, 100k D-softmax head), exactly where
+    the 800 MB logits buffer hurts most, fell back to XLA CE.  Block k
+    projects only its hidden slice (the D-softmax FLOP saving) through the
+    SAME tiled kernel; the per-block partial ``(m, s, t)`` triples merge
+    with the three-line logsumexp the decode head uses
+    (ops/project.py::project_candidates_dsoftmax).
+    """
+    loss, _ = _ds_fwd_impl(
+        h, weights, biases, targets, block_sizes, block_dims, mode,
+        compute_dtype, interpret,
+    )
+    return loss
+
+
+def _ds_fwd_impl(h, weights, biases, targets, block_sizes, block_dims, mode,
+                 compute_dtype, interpret):
+    import numpy as np
+
+    bases = np.concatenate([[0], np.cumsum(block_sizes)[:-1]]).astype(np.int64)
+    ms, ss, ts = [], [], []
+    for k, (start, d) in enumerate(_ds_slices(block_dims, mode)):
+        hk = h[:, start:start + d]
+        in_blk = (targets >= int(bases[k])) & (
+            targets < int(bases[k]) + block_sizes[k]
+        )
+        local = jnp.where(in_blk, targets - int(bases[k]), -1)
+        m, s, t = _ce_fwd_raw(
+            hk, weights[k], None, biases[k], local,
+            tile_v=2048, compute_dtype=compute_dtype, interpret=interpret,
+        )
+        ms.append(m)
+        ss.append(s)
+        ts.append(t)
+    m_all = jnp.stack(ms, axis=1)  # [B, K]
+    s_all = jnp.stack(ss, axis=1)
+    m_g = jnp.max(m_all, axis=1)
+    s_g = jnp.sum(s_all * jnp.exp(m_all - m_g[:, None]), axis=1)
+    lse = m_g + jnp.log(s_g)
+    tgt = sum(ts)
+    return lse - tgt, lse
+
+
+def _ds_vjp_fwd(h, weights, biases, targets, block_sizes, block_dims, mode,
+                compute_dtype, interpret):
+    loss, lse = _ds_fwd_impl(
+        h, weights, biases, targets, block_sizes, block_dims, mode,
+        compute_dtype, interpret,
+    )
+    return loss, (h, weights, biases, targets, lse)
+
+
+def _ds_vjp_bwd(block_sizes, block_dims, mode, compute_dtype, interpret,
+                res, g):
+    import numpy as np
+
+    h, weights, biases, targets, lse = res
+    bases = np.concatenate([[0], np.cumsum(block_sizes)[:-1]]).astype(np.int64)
+    dh = jnp.zeros_like(h)
+    dws, dbs = [], []
+    for k, (start, d) in enumerate(_ds_slices(block_dims, mode)):
+        hk = h[:, start:start + d]
+        in_blk = (targets >= int(bases[k])) & (
+            targets < int(bases[k]) + block_sizes[k]
+        )
+        local = jnp.where(in_blk, targets - int(bases[k]), -1)
+        dh_k, dw_k, db_k = _ce_bwd_impl(
+            hk, weights[k], None, biases[k], local, lse, g,
+            tile_v=2048, compute_dtype=compute_dtype, interpret=interpret,
+        )
+        dh = dh.at[:, start:start + d].add(dh_k)
+        dws.append(dw_k.astype(weights[k].dtype))
+        dbs.append(db_k.astype(biases[k].dtype))
+    return dh, tuple(dws), tuple(dbs), None
+
+
+ce_loss_fused_dsoftmax.defvjp(_ds_vjp_fwd, _ds_vjp_bwd)

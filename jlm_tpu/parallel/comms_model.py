@@ -43,27 +43,46 @@ DCN_GBPS = 12.5  # effective; raw NIC ceiling is ~25 GB/s per host
 
 
 def decode_collective_bytes_per_frame(
-    config: Config, batch_s: int, n_vocab: int, n_data: int = 1
+    config: Config, batch_s: int, n_vocab: int, n_data: int = 1,
+    seq_shard: bool = False, htop_bytes: int = 4,
 ) -> Dict[str, float]:
     """Exact per-frame, per-device collective payloads (bytes).
 
     ``batch_s`` = global sentence batch S; shapes mirror
-    ``make_sharded_forward``.
+    ``make_sharded_forward``.  ``seq_shard=True`` models the round-4
+    sequence-sharded layout: rows shard over the vocab axis outside the
+    head, so the exchange is one ``all_gather`` of the vocab group's
+    h_top (``htop_bytes``/element — 2 in bf16 speed mode), the lse
+    ``pmax``+``psum``, and a ``psum_scatter`` of candidates at HALF the
+    ring cost of the full ``psum``.
     """
-    S_local = batch_s // max(1, n_data)
+    S_grp = batch_s // max(1, n_data)  # sentences per vocab group
     B = config.beam_pad
-    R_local = S_local * B
+    R_grp = S_grp * B
     C1 = config.max_lookahead + 1
-    payload_max = R_local * 4
-    payload_sum = R_local * 4
-    payload_cand = S_local * B * C1 * 4
-    ring = 2.0 * (n_vocab - 1) / max(1, n_vocab)
-    wire = ring * (payload_max + payload_sum + payload_cand)
+    n = max(1, n_vocab)
+    ring = 2.0 * (n - 1) / n  # ring all-reduce wire factor
+    half_ring = 1.0 * (n - 1) / n  # all-gather / reduce-scatter factor
+    payload_max = R_grp * 4
+    payload_sum = R_grp * 4
+    payload_cand = S_grp * B * C1 * 4
+    if seq_shard:
+        payload_htop = R_grp * config.hidden_size * htop_bytes
+        wire = (
+            half_ring * payload_htop  # all_gather h_top at the boundary
+            + ring * (payload_max + payload_sum)
+            + half_ring * payload_cand  # psum_scatter
+        )
+    else:
+        payload_htop = 0
+        wire = ring * (payload_max + payload_sum + payload_cand)
     return {
         "payload_bytes_pmax": payload_max,
         "payload_bytes_psum_lse": payload_sum,
         "payload_bytes_psum_cand": payload_cand,
-        "payload_bytes_total": payload_max + payload_sum + payload_cand,
+        "payload_bytes_allgather_htop": payload_htop,
+        "payload_bytes_total": payload_max + payload_sum + payload_cand
+        + payload_htop,
         "wire_bytes_per_device_per_frame": wire,
     }
 
@@ -77,27 +96,40 @@ def decode_scaling_projection(
     n_vocab: int = 4,
     n_data: int = 1,
     gbps: float = ICI_GBPS,
+    seq_shard: bool = False,
+    htop_bytes: int = 4,
 ) -> Dict[str, float]:
     """Project per-chip efficiency of vocab-sharding the measured frame.
 
     ``frame_ms``  — measured single-chip device time per frame;
-    ``head_frac`` — fraction of it spent in the O(V) head (the part that
-    divides by ``n_vocab``; the scan skeleton, LSTM, and candidate einsum
-    replicate).  No compute/comm overlap is assumed (conservative).
+    ``head_frac`` — fraction of it spent in the O(V) head.  With
+    ``seq_shard=False`` (round-3 layout) only the head divides by
+    ``n_vocab`` — the scan skeleton, LSTM, and candidate scoring
+    replicate, Amdahl-capping the efficiency at ``head_frac``-ish.  With
+    ``seq_shard=True`` (round-4 layout) rows shard over the vocab axis
+    outside the head too, so the WHOLE frame divides by ``n_vocab`` and
+    only the boundary exchange is added.  No compute/comm overlap is
+    assumed (conservative).
 
     Returns per-frame times and two efficiency numbers:
 
     - ``eff_vs_ideal``: achieved speedup / n_vocab (classic strong-scaling
       efficiency of the tensor-parallel axis);
-    - ``eff_data_axis``: the BASELINE "linear chars/s 1 chip -> N" number
-      for pure data-parallel scaling — 1.0 by construction (zero wire
-      bytes during the scan), reported for completeness.
+    - ``eff_data_axis_modeled``: the BASELINE "linear chars/s 1 chip -> N"
+      number for pure data-parallel scaling — 1.0 by construction (zero
+      wire bytes during the scan), reported for completeness.
     """
-    comm = decode_collective_bytes_per_frame(config, batch_s, n_vocab, n_data)
+    comm = decode_collective_bytes_per_frame(
+        config, batch_s, n_vocab, n_data,
+        seq_shard=seq_shard, htop_bytes=htop_bytes,
+    )
     t_head = frame_ms * head_frac
     t_rest = frame_ms - t_head
     t_comm_ms = comm["wire_bytes_per_device_per_frame"] / (gbps * 1e9) * 1e3
-    t_sharded = t_head / n_vocab + t_rest + t_comm_ms
+    if seq_shard:
+        t_sharded = frame_ms / n_vocab + t_comm_ms
+    else:
+        t_sharded = t_head / n_vocab + t_rest + t_comm_ms
     speedup = frame_ms / t_sharded
     return {
         **comm,

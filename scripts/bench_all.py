@@ -241,19 +241,30 @@ def main(argv=None):
     )
     params5 = init_params(cfg5)
     eng5 = BeamDecoder(params5, lex5, vocab5, cfg5, precision="default")
-    stream5 = (kanas * mult)[: 64 if mult == 1 else 128]
-    eng5.decode_batch(stream5, n_best=1)
-    t0 = time.time()
-    for _ in range(reps):
-        eng5.decode_batch(stream5, n_best=1)
-    cps5 = sum(len(k) for k in stream5) / ((time.time() - t0) / reps)
+    # Flagship regime for config 5 too (VERDICT r3 #3: the only config
+    # still measured at 128-lattice chunks in round 3): 512-lattice
+    # length-sorted chunks through the same streaming harness.
+    cps5, _ = tpu_throughput(eng5)
+    # int8-quantized 2-layer variant on the default int8-MXU head — the
+    # speed recipe applied to the big model
+    qp5 = quantize_params(params5)
+    eng5q = BeamDecoder(qp5, lex5, vocab5, cfg5, precision="default")
+    cps5q, res5q = tpu_throughput(eng5q)
+    orc5 = OracleDecoder(OracleLM(qp5, cfg5), lex5, vocab5, cfg5)
+    par5 = sum(
+        r[0].segments == orc5.decode(k)[0].segments
+        for k, r in zip(kanas[:10], res5q[:10])
+    )
     report["configs"]["5_2layer_100k_streaming"] = {
-        "chars_per_sec": round(cps5, 1),
+        "chars_per_sec_512chunks": round(cps5, 1),
         "vs_baseline": round(cps5 / base, 2),
+        "chars_per_sec_int8_mxu": round(cps5q, 1),
+        "int8_top1_parity_sample": f"{par5}/10",
         "note": "multi-host mesh exercised via __graft_entry__.dryrun_multichip "
                 "and tests; 1 real chip here",
     }
-    log(f"config5 2l-100k: {cps5:.1f} chars/s ({cps5/base:.1f}x)")
+    log(f"config5 2l-100k: {cps5:.1f} chars/s ({cps5/base:.1f}x); "
+        f"int8-MXU {cps5q:.1f}")
 
     # ---- scaling model: exact per-frame collective bytes + projection ----
     # (VERDICT r2 missing #2: no multi-chip hardware here, so the >=90%-
@@ -281,18 +292,27 @@ def main(argv=None):
     head_frac = 0.55
     scaling = {
         "note": "analytic ring-allreduce model over the exact per-frame "
-                "psum payloads of sharded_head.py; data-axis scaling is "
-                "communication-free (independent lattices) and linear by "
-                "construction",
+                "collective payloads of sharded_head.py; data-axis scaling "
+                "is communication-free (independent lattices) and linear "
+                "by construction (modeled, not hardware-measured)",
         "ici": decode_scaling_projection(
             cfg2, S_model, frame_ms, head_frac, n_vocab=4, gbps=ICI_GBPS),
         "dcn": decode_scaling_projection(
             cfg2, S_model, frame_ms, head_frac, n_vocab=4, gbps=DCN_GBPS),
+        # round-4 sequence-sharded exchange (the default layout): rows
+        # shard over the vocab axis outside the head; bf16 h_top boundary
+        "ici_seq_shard": decode_scaling_projection(
+            cfg2, S_model, frame_ms, head_frac, n_vocab=4, gbps=ICI_GBPS,
+            seq_shard=True, htop_bytes=2),
+        "dcn_seq_shard": decode_scaling_projection(
+            cfg2, S_model, frame_ms, head_frac, n_vocab=4, gbps=DCN_GBPS,
+            seq_shard=True, htop_bytes=2),
     }
     report["scaling_model"] = scaling
-    log(f"scaling model: vocab=4 on ICI eff={scaling['ici']['eff_vs_ideal']:.2f}, "
-        f"wire {scaling['ici']['wire_bytes_per_device_per_frame']/1e6:.2f} MB/frame; "
-        f"data-axis eff=1.0 (no cross-talk)")
+    log(f"scaling model: vocab=4 on ICI eff="
+        f"{scaling['ici']['eff_vs_ideal']:.2f} (legacy) / "
+        f"{scaling['ici_seq_shard']['eff_vs_ideal']:.2f} (seq-sharded); "
+        f"data-axis eff=1.0 modeled (no cross-talk)")
 
     # ---- config 5 trained-weight quality (VERDICT r1 #8) -------------------
     if args.exp5 and args.data5:

@@ -391,6 +391,69 @@ def test_ce_fused_grads_match_ref():
         )
 
 
+def test_ce_fused_dsoftmax_matches_ref():
+    """D-softmax fused CE (per-block kernels + merged partial lse) ==
+    plain CE over the segmented logits, loss AND grads (VERDICT r3 #7:
+    config-5's 100k D-softmax head previously had no fused-CE path)."""
+    from jlm_tpu.config import Config, DSoftmaxConfig
+    from jlm_tpu.models.heads import full_softmax_loss
+    from jlm_tpu.models.params import init_params
+    from jlm_tpu.ops.softmax_ce import ce_loss_fused_dsoftmax
+
+    for mode in ("prefix", "disjoint"):
+        cfg = Config(
+            vocab_size=768, embed_size=32, hidden_size=64, head="dsoftmax",
+            dsoftmax=DSoftmaxConfig(
+                block_sizes=(128, 256, 384),
+                block_dims=(64, 32, 16) if mode == "prefix" else (32, 16, 16),
+                mode=mode,
+            ),
+            fused_ce=True, seed=3,
+        )
+        params = jax.tree.map(jnp.asarray, init_params(cfg))
+        rng = np.random.default_rng(31)
+        B, T = 4, 6
+        hs = jnp.asarray(rng.normal(size=(B, T, 64)).astype(np.float32) * 0.3)
+        # targets spanning all three blocks incl. boundaries
+        tgt = jnp.asarray(
+            rng.integers(0, 768, (B, T)).astype(np.int32)
+        ).at[0, :4].set(jnp.asarray([0, 127, 128, 767]))
+
+        def fused(p):
+            return full_softmax_loss(p, cfg, hs, tgt, precision="highest")
+
+        cfg_ref = cfg.replace(fused_ce=False)
+
+        def ref(p):
+            return full_softmax_loss(p, cfg_ref, hs, tgt, precision="highest")
+
+        np.testing.assert_allclose(
+            float(fused(params)), float(ref(params)), rtol=1e-5, atol=1e-5,
+            err_msg=mode,
+        )
+        gk = jax.grad(fused)(params)
+        gr = jax.grad(ref)(params)
+        for k, blk in enumerate(gk["head"]["blocks"]):
+            np.testing.assert_allclose(
+                np.asarray(blk["W"]),
+                np.asarray(gr["head"]["blocks"][k]["W"]),
+                atol=1e-4, rtol=1e-4, err_msg=f"{mode} dW block {k}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(blk["b"]),
+                np.asarray(gr["head"]["blocks"][k]["b"]),
+                atol=1e-4, rtol=1e-4, err_msg=f"{mode} db block {k}",
+            )
+        gh_k = jax.grad(lambda x: full_softmax_loss(
+            params, cfg, x, tgt, precision="highest"))(hs)
+        gh_r = jax.grad(lambda x: full_softmax_loss(
+            params, cfg_ref, x, tgt, precision="highest"))(hs)
+        np.testing.assert_allclose(
+            np.asarray(gh_k), np.asarray(gh_r), atol=1e-4, rtol=1e-4,
+            err_msg=f"{mode} dh",
+        )
+
+
 @pytest.mark.parametrize("R,E,H,dtype", [
     (48, 64, 96, jnp.float32),
     (48, 64, 96, jnp.bfloat16),

@@ -40,14 +40,20 @@ def test_mesh_axes():
     assert mesh.shape == {"data": 2, "vocab": 4}
 
 
-def test_sharded_forward_matches_unsharded(tiny_params):
+@pytest.mark.parametrize("seq_shard", [True, False])
+def test_sharded_forward_matches_unsharded(tiny_params, seq_shard):
+    """Both exchange layouts: round-4 sequence-sharded rows (all_gather at
+    the head boundary + psum_scatter candidates) and the round-3
+    rows-replicated candidate psum."""
     cfg, mesh = cfg_mesh()
     params = shard_params(jax.tree.map(jnp.asarray, tiny_params), cfg, mesh)
-    fwd = make_sharded_forward(mesh, cfg)
-    S, B = 2, 2
-    words = jnp.asarray([[3, 9], [7, 1]], jnp.int32)
+    fwd = make_sharded_forward(mesh, cfg, seq_shard=seq_shard)
+    S, B = (8, 2) if seq_shard else (2, 2)
+    rng = np.random.default_rng(5)
+    words = jnp.asarray(rng.integers(0, 256, (S, B)), jnp.int32)
     state = initial_state(cfg, S * B)
-    cand = jnp.asarray([[0, 5, 17, 255], [2, 4, 100, 31]], jnp.int32)
+    cand = jnp.asarray(rng.integers(0, 256, (S, 4)), jnp.int32)
+    cand = cand.at[0, :4].set(jnp.asarray([0, 5, 17, 255]))
     c_s, e_s, st_s = fwd(params, words, state, cand)
     c_r, e_r, st_r = full_softmax_forward(
         jax.tree.map(jnp.asarray, tiny_params), cfg, words, state, cand
@@ -67,12 +73,13 @@ def test_sharded_dsoftmax_forward_matches_unsharded():
     params = jax.tree.map(jnp.asarray, init_params(cfg))
     sharded = shard_params(params, cfg, mesh)
     fwd = make_sharded_forward(mesh, cfg)
-    S, B = 2, 1
-    words = jnp.asarray([[1], [8]], jnp.int32)
+    S, B = 8, 1
+    words = jnp.asarray([[1], [8], [3], [250], [7], [0], [12], [99]],
+                        jnp.int32)
     state = initial_state(cfg, S * B)
     # candidates spanning all three blocks incl. boundaries
     cand = jnp.asarray([[0, 63, 64, 127, 128, 255],
-                        [255, 128, 127, 64, 63, 0]], jnp.int32)
+                        [255, 128, 127, 64, 63, 0]] * 4, jnp.int32)
     c_s, e_s, _ = fwd(sharded, words, state, cand)
 
     from jlm_tpu.decoder.engine import full_softmax_forward as ref_fwd
@@ -254,14 +261,20 @@ def test_seq_pipeline_trainer_matches_single(encoded):
 def test_sharded_decode_long_exact_scores(tiny_params, lexicon, vocab):
     """decode_long composes with the vocab-sharded forward: chained chunks
     carry the boundary beam across shard_map calls, scores stay exact vs
-    the single-device decode_long and the oracle LM rescore."""
+    the single-device CHAIN decode_long (the sharded forward has no
+    score_hidden hook, so both take the single-root fallback; the
+    multi-root path is covered unsharded in test_long_input.py)."""
+    from jlm_tpu.decoder.engine import full_softmax_forward
+
     cfg, mesh = cfg_mesh()
     cfg = cfg.replace(max_kana_len=8)
     params = jax.tree.map(jnp.asarray, tiny_params)
     sharded = shard_params(params, cfg, mesh)
     fwd = make_sharded_forward(mesh, cfg)
     eng_s = BeamDecoder(sharded, lexicon, vocab, cfg, forward_fn=fwd)
-    eng_1 = BeamDecoder(tiny_params, lexicon, vocab, cfg, precision="highest")
+    # single-device referee WITHOUT the score_hidden hook => same chain path
+    bare = lambda p, w, s, cw: full_softmax_forward(p, cfg, w, s, cw)
+    eng_1 = BeamDecoder(tiny_params, lexicon, vocab, cfg, forward_fn=bare)
     kana = "きょうはいいてんきあめがふるよ"  # 15 kana -> 2 chunks of 8
     r_s = eng_s.decode(kana, n_best=1)[0]
     r_1 = eng_1.decode(kana, n_best=1)[0]
@@ -293,6 +306,19 @@ def test_comms_model_consistency():
     assert fast["speedup_vs_1chip"] > slow["speedup_vs_1chip"] > 1.0
     assert 0 < fast["eff_vs_ideal"] <= 1.0
     assert fast["eff_data_axis_modeled"] == 1.0
+    # round-4 sequence-sharded layout: the whole frame divides by n, only
+    # the boundary exchange is added — must beat the legacy layout and
+    # clear the VERDICT r3 #8 bar (eff >= 0.7 at vocab=4 on ICI)
+    seq = decode_scaling_projection(
+        cfg, S, 8.0, 0.55, n_vocab=4, gbps=100, seq_shard=True, htop_bytes=2
+    )
+    assert seq["eff_vs_ideal"] > fast["eff_vs_ideal"]
+    assert seq["eff_vs_ideal"] >= 0.7, seq["eff_vs_ideal"]
+    c_seq = decode_collective_bytes_per_frame(cfg, S, 4, seq_shard=True,
+                                              htop_bytes=2)
+    assert c_seq["payload_bytes_allgather_htop"] == (
+        S * cfg.beam_pad * cfg.hidden_size * 2
+    )
 
 
 def test_sampled_softmax_data_parallel(tiny_config, encoded):
