@@ -72,11 +72,13 @@ def main(argv=None):
     def tpu_throughput(engine, stream_mult=mult):
         # streaming regime (pipelined dispatch; matches bench.py): steady
         # state is device-limited, not host-round-trip-limited.  512-lattice
-        # chunks since r3 — the engine's best regime (128-chunks leave the
-        # per-frame fixed costs under-amortized; r2 used 128).
+        # LENGTH-SORTED chunks since r4; the warm pass must be a full
+        # decode_stream so every distinct T-bucket program compiles before
+        # the timed region (each first compile is ~90 s via the tunnel).
         stream = (kanas * stream_mult)[: 64 if stream_mult == 1 else 512]
         stream_chars = sum(len(k) for k in stream)
-        engine.decode_batch(stream, n_best=1)  # compile+warm
+        engine.decode_stream(stream * reps, chunk_size=len(stream),
+                             n_best=1)  # compile+warm all chunk shapes
         t0 = time.time()
         res = engine.decode_stream(stream * reps, chunk_size=len(stream),
                                    n_best=1)
