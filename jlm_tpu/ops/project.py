@@ -215,7 +215,13 @@ def _project_block(
                     + 2 * tr_try * D * h_size  # h row block (dbl-buffered)
                     + 2 * tr_try * ck * 4  # logits chunk + epilogue temp
                     + 4 * tr_try * 128 * 4  # m/s outputs, double-buffered
-                    + (0 if skip_cand else 2 * tr_try * C * 4 + tvc * C * 4)
+                    # the cand output BLOCK exists even when skip_cand
+                    # statically never writes it — Mosaic still allocates
+                    # it (r4: omitting this OOM'd the 2-layer/100k
+                    # D-softmax d=128 block at 5120 rows, scoped-vmem
+                    # 17.15M > 16M)
+                    + 2 * tr_try * max(C if not skip_cand else 0, 128) * 4
+                    + (0 if skip_cand else tvc * C * 4)
                     + (tr_try * D + tr_try * 128 * 4 if use_int8_mxu else 0)
                 )
                 if need <= budget:

@@ -66,7 +66,7 @@ def main(argv=None):
     kanas = [k for k, _ in tests]
     n_chars = sum(len(k) for k in kanas)
     mult = 1 if args.quick else 11
-    reps = 1 if args.quick else 3
+    reps = 1 if args.quick else 6
     report = {"device": str(jax.devices()[0]), "ts": time.time(), "configs": {}}
 
     def tpu_throughput(engine, stream_mult=mult):
@@ -101,6 +101,10 @@ def main(argv=None):
     }
     log(f"config1 oracle: {base:.1f} chars/s")
 
+    def flush_report():
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+
     # greedy parity: TPU greedy vs oracle greedy (top-1 identical)
     eng1 = BeamDecoder(params, lexicon, vocab, cfg1, precision="highest")
     tpu_greedy = [r[0] for r in eng1.decode_batch(kanas, 1)]
@@ -126,6 +130,7 @@ def main(argv=None):
         "vs_baseline": round(cps2 / base, 2),
         "top1_parity_sample": f"{par2}/10",
     }
+    flush_report()
     log(f"config2 beam10: {cps2:.1f} chars/s ({cps2/base:.1f}x), parity {par2}/10")
 
     # ---- config 3: D-softmax head ------------------------------------------
@@ -141,6 +146,7 @@ def main(argv=None):
         "note": "vocab-sharded variant exercised on 8-dev CPU mesh in CI "
                 "(tests/test_sharded.py); 1 real chip here",
     }
+    flush_report()
     log(f"config3 dsoftmax: {cps3:.1f} chars/s ({cps3/base:.1f}x)")
 
     # ---- config 4: int8 + incremental --------------------------------------
@@ -229,6 +235,7 @@ def main(argv=None):
                      "trie + cached-beam probes); untrained weights here — "
                      "trained traces measure 63-79% hit at K=4-8",
     }
+    flush_report()
     log(f"config4 int8: {cps4:.1f} chars/s, keystroke "
         f"{report['configs']['4_int8_incremental']['keystroke_ms_median']}ms")
 
@@ -265,6 +272,7 @@ def main(argv=None):
         "note": "multi-host mesh exercised via __graft_entry__.dryrun_multichip "
                 "and tests; 1 real chip here",
     }
+    flush_report()
     log(f"config5 2l-100k: {cps5:.1f} chars/s ({cps5/base:.1f}x); "
         f"int8-MXU {cps5q:.1f}")
 

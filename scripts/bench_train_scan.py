@@ -28,6 +28,10 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--layers", type=int, default=1)
     ap.add_argument("--vocab", type=int, default=50_000)
+    ap.add_argument("--dsoftmax", action="store_true",
+                    help="D-softmax head (config-5 shape with --vocab "
+                         "100000 --layers 2): A/B the per-block fused CE "
+                         "vs XLA CE (VERDICT r3 #7 done-bar)")
     args = ap.parse_args(argv)
 
     import jax
@@ -37,7 +41,7 @@ def main(argv=None):
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from jlm_tpu.config import Config
+    from jlm_tpu.config import Config, default_dsoftmax_blocks
     from jlm_tpu.models.lstm import forward_hidden, forward_hidden_pallas
     from jlm_tpu.models.heads import full_softmax_loss
     from jlm_tpu.models.params import init_params
@@ -45,6 +49,9 @@ def main(argv=None):
     cfg = Config(
         vocab_size=args.vocab, embed_size=256, hidden_size=512,
         num_layers=args.layers, batch_size=args.batch, num_steps=args.steps,
+        head="dsoftmax" if args.dsoftmax else "full",
+        dsoftmax=default_dsoftmax_blocks(args.vocab, 512)
+        if args.dsoftmax else None,
     )
     params = jax.tree.map(jnp.asarray, init_params(cfg))
     opt = optax.adam(1e-3)
