@@ -68,6 +68,11 @@ def _pick_tiles(B, D, V, itemsize, tile_v, kind):
             + 6 * tv * 4  # scale + bias tiles
             + 2 * tr * D * itemsize  # h block, double-buffered
             + 2 * tr * ck * 4  # logits chunk + temp
+            # each UNROLLED chunk iteration keeps its own live logits/exp
+            # temporaries on the Mosaic stack (r4: a d=128 D-softmax block
+            # at tr=1024, tv=2048 = 8 unrolled chunks measured 16.15 MB
+            # scoped — 2x this model without the term)
+            + (tv // ck - 1) * tr * ck * 4
         )
         if kind == "fwd":
             n += 8 * tr * 128 * 4  # y in + m/s/t out, double-buffered
