@@ -79,10 +79,16 @@ def main(argv=None):
         stream_chars = sum(len(k) for k in stream)
         engine.decode_stream(stream * reps, chunk_size=len(stream),
                              n_best=1)  # compile+warm all chunk shapes
-        t0 = time.time()
-        res = engine.decode_stream(stream * reps, chunk_size=len(stream),
-                                   n_best=1)
-        dt = (time.time() - t0) / reps
+        # best-of-2 timed passes: the tunneled relay occasionally degrades
+        # a whole pass by >5x (observed r4: config 3 measured 11.8k then
+        # 78.4k for identical programs); best-of shields the report
+        dt = float("inf")
+        res = None
+        for _ in range(2):
+            t0 = time.time()
+            res = engine.decode_stream(stream * reps, chunk_size=len(stream),
+                                       n_best=1)
+            dt = min(dt, (time.time() - t0) / reps)
         return stream_chars / dt, res[: len(kanas)]
 
     # ---- config 1: CPU oracle greedy --------------------------------------
