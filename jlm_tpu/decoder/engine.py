@@ -266,7 +266,7 @@ def make_pallas_forward(
                 compute_dtype=compute_dtype, interpret=interpret,
             )
             new_c.append(c_l)
-            new_h.append(h_l.astype(jnp.float32))
+            new_h.append(h_l)  # compute dtype; the ring applies cache dtype
             x = h_l
         h_top = x  # [S*B, H] compute dtype
         state = (jnp.stack(new_c), jnp.stack(new_h))
@@ -578,13 +578,14 @@ def _decode_scan(
             h_cache.reshape(S, R * B, L, H), flat, axis=1
         )
 
-        # One batched LM forward over all S·B beam rows.
+        # One batched LM forward over all S·B beam rows.  States pass in
+        # the CACHE dtype (bf16 in speed mode): the forward casts to its
+        # compute dtype anyway, and the old fp32 round trip (gather→fp32→
+        # kernel→fp32→ring) wrote ~40 MB/frame of pure casts — value-
+        # identical because the values CAME from bf16 storage.
         cand_new, eos_new, (c_new, h_new) = forward_fn(
             params, new_words,
-            (
-                cache_to_state(csel).astype(jnp.float32),
-                cache_to_state(hsel).astype(jnp.float32),
-            ),
+            (cache_to_state(csel), cache_to_state(hsel)),
             payload_t,
         )
         cand_new = jnp.where(look_m_t[:, None, :], cand_new, NEG)

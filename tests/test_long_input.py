@@ -171,6 +171,28 @@ def test_decode_long_matches_uncapped_oracle_stream(setup):
         np.testing.assert_allclose(res.score, ref.score, atol=1e-3)
 
 
+def test_decode_long_multiroot_pallas_head(setup):
+    """Multi-root seeding through the PALLAS speed head's score_hidden
+    hook (cand_dot + project_lse on the exported boundary h_top): top-1
+    path must match the uncapped oracle at tiny dims (fp32 compute — the
+    hook is the same code the bf16/int8 engine runs on TPU)."""
+    cfg, vocab, lex, params, _ = setup
+    from jlm_tpu.decoder.engine import make_pallas_forward
+    from jlm_tpu.oracle import OracleDecoder, OracleLM
+
+    fwd = make_pallas_forward(cfg, tile_v=128, interpret=True)
+    eng_p = BeamDecoder(params, lex, vocab, cfg, forward_fn=fwd)
+    orc = OracleDecoder(
+        OracleLM(params, cfg), lex, vocab, cfg.replace(max_kana_len=64)
+    )
+    tests = generate_test_set(6, seed=42)
+    kana = "".join(k for k, _ in tests)[:30]
+    res = eng_p.decode(kana, n_best=1)[0]
+    ref = orc.decode(kana, n_best=1)[0]
+    assert res.segments == ref.segments, (res.surface, ref.surface)
+    np.testing.assert_allclose(res.score, ref.score, atol=1e-3)
+
+
 def test_decode_long_chain_fallback(setup):
     """Forwards without a score_hidden hook fall back to single-root
     chaining: still decodes, scores stay exact for the searched path."""
