@@ -520,7 +520,10 @@ def _ds_vjp_bwd(block_sizes, block_dims, mode, compute_dtype, interpret,
 
     h, weights, biases, targets, lse = res
     bases = np.concatenate([[0], np.cumsum(block_sizes)[:-1]]).astype(np.int64)
-    dh = jnp.zeros_like(h)
+    # accumulate dh in fp32 (the per-block kernels emit fp32; scatter-adds
+    # into a bf16 buffer hit jax's slow dtype-promotion path + deprecation
+    # warning) and cast once at the end
+    dh = jnp.zeros(h.shape, jnp.float32)
     dws, dbs = [], []
     for k, (start, d) in enumerate(_ds_slices(block_dims, mode)):
         hk = h[:, start:start + d]
@@ -535,7 +538,7 @@ def _ds_vjp_bwd(block_sizes, block_dims, mode, compute_dtype, interpret,
         dh = dh.at[:, start:start + d].add(dh_k)
         dws.append(dw_k.astype(weights[k].dtype))
         dbs.append(db_k.astype(biases[k].dtype))
-    return dh, tuple(dws), tuple(dbs), None
+    return dh.astype(h.dtype), tuple(dws), tuple(dbs), None
 
 
 ce_loss_fused_dsoftmax.defvjp(_ds_vjp_fwd, _ds_vjp_bwd)

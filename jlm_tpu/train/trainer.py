@@ -288,17 +288,25 @@ class Trainer:
         cfg = self.config
         state = initial_state(cfg, cfg.batch_size)
         lr = jnp.float32(epoch_lr(cfg, epoch))
-        total, n = 0.0, 0
         state = jax.tree.map(lambda s: self._feed(np.asarray(s), 1), state)
+        # Loss accumulates ON DEVICE and is fetched ONCE per epoch:
+        # `float(loss)` per step forces a sync device->host round trip,
+        # which serializes the whole epoch on host-link latency (r4
+        # measured 226 s/epoch on a degraded tunnel vs ~13 s healthy —
+        # 1054 steps x the RPC, not compute).
+        total, n = None, 0
         for x, y in bptt_batches(ids, cfg.batch_size, cfg.num_steps):
             rng, sub = jax.random.split(rng)
             self.params, self.opt_state, state, loss = self._train_step(
                 self.params, self.opt_state, state, self._feed(x),
                 self._feed(y), sub, lr,
             )
-            total += float(loss) * x.size
+            contrib = loss * jnp.float32(x.size)
+            total = contrib if total is None else total + contrib
             n += x.size
-        return float(np.exp(total / max(1, n)))
+        if total is None:
+            return float("nan")
+        return float(np.exp(self._to_host(total) / max(1, n)))
 
     def evaluate_ppl(self, ids: np.ndarray) -> float:
         """Dev/test perplexity with the full-softmax objective.
@@ -310,14 +318,17 @@ class Trainer:
         cfg = self.config
         state = initial_state(cfg, cfg.batch_size)
         state = jax.tree.map(lambda s: self._feed(np.asarray(s), 1), state)
-        total, n = 0.0, 0
+        total, n = None, 0  # device-side accumulation (see run_epoch)
         for x, y in bptt_batches(ids, cfg.batch_size, cfg.num_steps):
             loss, state = self._eval_step(
                 self.params, state, self._feed(x), self._feed(y)
             )
-            total += float(loss) * x.size
+            contrib = loss * jnp.float32(x.size)
+            total = contrib if total is None else total + contrib
             n += x.size
-        return float(np.exp(total / max(1, n)))
+        if total is None:
+            return float("nan")
+        return float(np.exp(self._to_host(total) / max(1, n)))
 
 
 def train_lm(
