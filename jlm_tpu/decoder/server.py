@@ -116,7 +116,21 @@ def _batch_keystroke_step(
 
     # Continuation probes against the post-commit rows (probe_pos == pos
     # reads the freshly computed values, matching incremental._frame_rows).
+    # Q == 0 statically compiles the probe work away (SessionServer
+    # probes=False keeps the round-2 step cost: 0.58 vs 0.76 ms amortized
+    # per keystroke with 96 probes/event).
     Q = probe_wid.shape[1]
+    if Q == 0:
+        packed = jnp.concatenate(
+            [
+                src_pos.astype(jnp.int32),
+                sel_p.astype(jnp.int32),
+                sel_n.astype(jnp.int32),
+                jax.lax.bitcast_convert_type(finals, jnp.int32),
+            ],
+            axis=1,
+        )  # [E, 4*B]
+        return (score_c, lse_c, eos_c, c_c, h_c, htop_c), packed
     at_new = probe_pos == pos[:, None]  # [E, Q]
     sc_pq = jnp.take_along_axis(ses(score_c), probe_pos[:, :, None], axis=1)
     sc_pq = jnp.where(at_new[:, :, None], top_scores[:, None, :], sc_pq)
@@ -156,7 +170,12 @@ class SessionServer:
         config: Config,
         max_sessions: int = 64,
         precision: str = "highest",
+        probes: bool = True,
     ):
+        """``probes=False`` compiles the next-kana probe scoring out of
+        the batched step (suggest_next then returns []): the round-2 step
+        cost for latency-critical deployments that don't surface
+        suggestions."""
         self.params = jax.tree.map(jnp.asarray, params)
         self.lexicon = lexicon
         self.vocab = vocab
@@ -187,8 +206,8 @@ class SessionServer:
         # beam slot's committed segments
         self._base: Dict[int, int] = {}
         self._committed: Dict[int, List[List[Tuple[str, int]]]] = {}
-        # piggybacked next-kana probe state
-        self._Q = 96
+        # piggybacked next-kana probe state (0 = compiled out)
+        self._Q = 96 if probes else 0
         self._probe_chars: Dict[int, List[str]] = {}
         self._probe_scores: Dict[int, Optional[np.ndarray]] = {}
 

@@ -133,6 +133,20 @@ def test_server_suggest_next(server, batch_dec, tiny_params, tiny_config,
     server.close(sid)
 
 
+def test_server_probes_off(tiny_params, tiny_config, lexicon, vocab,
+                           batch_dec):
+    """probes=False compiles the suggestion scoring out of the batched
+    step; results stay identical, suggest_next returns []."""
+    srv = SessionServer(tiny_params, lexicon, vocab, tiny_config,
+                        max_sessions=4, probes=False)
+    sid = srv.open()
+    for ch in "きょうは":
+        srv.push([(sid, ch)])
+    assert srv.results(sid)[0].segments == batch_dec.decode("きょうは")[0].segments
+    assert srv.suggest_next(sid) == []
+    srv.close(sid)
+
+
 def test_server_dsoftmax_int8(lexicon, vocab):
     cfg = Config(
         vocab_size=256, embed_size=32, hidden_size=64,
