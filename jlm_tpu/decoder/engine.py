@@ -1095,12 +1095,21 @@ class BeamDecoder:
 
     def _pack_window(self, window: str, mask_upto: int) -> np.ndarray:
         """Pack one chunk window's lattice, masking frames <= mask_upto
-        (overlap positions the previous chunk already searched)."""
+        (overlap positions the previous chunk already searched).
+
+        The single sentence replicates to ``min_batch`` rows when the
+        forward is sharded (row-sharded meshes need divisible batches);
+        the duplicates ride along and row 0 is read out.
+        """
+        batch = [window] * max(1, self._min_batch)
         if self._native is not None:
-            packed, _ = self._native.pack_batch([window])
+            packed, _ = self._native.pack_batch(batch)
         else:
-            lat = build_lattice(window, self.lexicon, self.vocab, self.config)
-            packed, _ = pack_lattice_batch([lat])
+            lats = [
+                build_lattice(w, self.lexicon, self.vocab, self.config)
+                for w in batch
+            ]
+            packed, _ = pack_lattice_batch(lats)
         packed = packed[:, :len(window)]
         if mask_upto > 0:
             packed = packed.copy()
@@ -1147,21 +1156,23 @@ class BeamDecoder:
                 window = kana[cuts[k - 1] - M:cut]
                 seed_m = M
             packed = self._pack_window(window, seed_m)
-            lengths = jnp.asarray([len(window)], jnp.int32)
+            lengths = jnp.asarray(
+                [len(window)] * packed.shape[0], jnp.int32
+            )
             if k == 0:
                 # chunk 0 always exports rings: decode_long only runs for
                 # G > T_c, so there are >= 2 chunks and chunk 0 is never
                 # the last.
                 out = self._mr_jit("first")(
-                    self.params, jnp.asarray(packed), lengths
+                    self.params, self._upload(packed), lengths
                 )
             elif last:
                 out = self._mr_jit("last")(
-                    self.params, jnp.asarray(packed), lengths, seed=seed
+                    self.params, self._upload(packed), lengths, seed=seed
                 )
             else:
                 out = self._mr_jit("mid")(
-                    self.params, jnp.asarray(packed), lengths, seed=seed
+                    self.params, self._upload(packed), lengths, seed=seed
                 )
             seed = out.get("rings")  # stays on device
             chunks.append((window, packed, out, seed_m))

@@ -255,6 +255,22 @@ def make_sharded_forward(
         cand_logp, eos_logp = _sharded_head(params["head"], h_top, ids)
         return cand_logp, eos_logp, state
 
+    def score_hidden(params, h_top, cand_words):
+        """Candidate logp from existing top hidden states (no LSTM step):
+        multi-root ``decode_long`` seeding under vocab sharding — the same
+        head exchange as the frame forward, minus <eos> (the seeded rows
+        never rescore).  ``h_top [S', B, H]``, ``cand_words [S', C]``;
+        S' must divide the row sharding like any batch."""
+        Sp, B, H = h_top.shape
+        out = _sharded_head(params["head"], h_top.reshape(Sp * B, H),
+                            cand_words)
+        # _sharded_head appends nothing itself — the caller of the FRAME
+        # forward appends <eos>; here the ids table is the payload as-is,
+        # so "eos" (the last column split) is just the last candidate.
+        cand_logp, last_col = out
+        return jnp.concatenate([cand_logp, last_col[:, :, None]], axis=2)
+
+    forward.score_hidden = score_hidden
     # the engine pads lattice batches up to this (S must divide the row
     # sharding: data*vocab when sequence-sharded, data otherwise)
     forward.min_batch = int(

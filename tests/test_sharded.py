@@ -259,12 +259,12 @@ def test_seq_pipeline_trainer_matches_single(encoded):
 
 
 def test_sharded_decode_long_exact_scores(tiny_params, lexicon, vocab):
-    """decode_long composes with the vocab-sharded forward: chained chunks
-    carry the boundary beam across shard_map calls, scores stay exact vs
-    the single-device CHAIN decode_long (the sharded forward has no
-    score_hidden hook, so both take the single-root fallback; the
-    multi-root path is covered unsharded in test_long_input.py)."""
-    from jlm_tpu.decoder.engine import full_softmax_forward
+    """decode_long composes with the vocab-sharded forward: since round 4
+    the sharded forward carries a score_hidden hook, so long inputs take
+    the MULTI-ROOT overlap-save path under sharding too — path AND score
+    must match the single-device multi-root decode and the uncapped
+    oracle."""
+    from jlm_tpu.oracle import OracleDecoder, OracleLM
 
     cfg, mesh = cfg_mesh()
     cfg = cfg.replace(max_kana_len=8)
@@ -272,14 +272,18 @@ def test_sharded_decode_long_exact_scores(tiny_params, lexicon, vocab):
     sharded = shard_params(params, cfg, mesh)
     fwd = make_sharded_forward(mesh, cfg)
     eng_s = BeamDecoder(sharded, lexicon, vocab, cfg, forward_fn=fwd)
-    # single-device referee WITHOUT the score_hidden hook => same chain path
-    bare = lambda p, w, s, cw: full_softmax_forward(p, cfg, w, s, cw)
-    eng_1 = BeamDecoder(tiny_params, lexicon, vocab, cfg, forward_fn=bare)
-    kana = "きょうはいいてんきあめがふるよ"  # 15 kana -> 2 chunks of 8
+    eng_1 = BeamDecoder(tiny_params, lexicon, vocab, cfg,
+                        precision="highest")
+    orc = OracleDecoder(
+        OracleLM(tiny_params, cfg), lexicon, vocab,
+        cfg.replace(max_kana_len=64),
+    )
+    kana = "きょうはいいてんきあめがふるよ"  # 15 kana, multi-chunk
     r_s = eng_s.decode(kana, n_best=1)[0]
     r_1 = eng_1.decode(kana, n_best=1)[0]
-    assert r_s.segments == r_1.segments
-    assert abs(r_s.score - r_1.score) < 1e-3
+    r_o = orc.decode(kana, n_best=1)[0]
+    assert r_s.segments == r_1.segments == r_o.segments
+    assert abs(r_s.score - r_o.score) < 1e-3
 
 
 def test_comms_model_consistency():
