@@ -1067,9 +1067,10 @@ class BeamDecoder:
         lattice nodes that START in the overlap — so words span chunk cuts
         freely and the search is exactly the unchunked scan's (the
         per-position beams are identical; tests pin >62-kana inputs to an
-        unchunked oracle decode).  Falls back to single-root chaining
-        (forced word boundary at each cut, the round-2/3 behavior) for
-        forwards without a ``score_hidden`` hook (e.g. vocab-sharded).
+        unchunked oracle decode).  The built-in forwards (jnp parity,
+        Pallas speed, vocab-sharded) all carry the hook; custom forwards
+        without one fall back to single-root chaining (forced word
+        boundary at each cut, the round-2/3 behavior).
         Beam states never leave the device between chunks.
         """
         if getattr(self._fwd, "score_hidden", None) is not None:
