@@ -804,6 +804,11 @@ class BeamDecoder:
         if getattr(fwd, "prepare", None) is not None and "_decode" not in self.params:
             cd = getattr(fwd, "compute_dtype", jnp.float32)
             self.params["_decode"] = build_decode_head(self.params, config, cd)
+        # Sharded forwards pin the decode-param placement themselves (e.g.
+        # head columns over ``vocab``, candidate table replicated).
+        place = getattr(fwd, "place_params", None)
+        if place is not None:
+            self.params = place(self.params)
         self._fwd = fwd
         self._decode_jit = jax.jit(
             functools.partial(_decode_scan, config=config, forward_fn=fwd)

@@ -382,7 +382,7 @@ def project_candidates_dsoftmax(
     return logp[:B, :C]
 
 
-def project_lse(
+def project_ms(
     h: jnp.ndarray,  # [R, H] fp32 (R = all beam rows, e.g. S*B)
     head,  # {"W","b"} | {"blocks": [...]}; W may be an int8 quant dict
     config: Config,
@@ -393,13 +393,15 @@ def project_lse(
     int8_mxu: bool = False,
     tile_r: Optional[int] = None,
     chunk: int = 256,
-) -> jnp.ndarray:
-    """Per-row log-sum-exp of the full output projection: ``[R, 1]``.
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row PARTIAL softmax statistics ``(m, s)``, each ``[R, 1]``.
 
-    The normalizer half of the decode head: the batched engine pairs this
-    with a cheap per-sentence candidate-column gather, so the only O(V)
-    work is this kernel — vocab-tiled, int8-dequant in VMEM, logits never
-    leaving the chip.
+    ``m`` is the row max over this head's columns and ``s`` the sumexp
+    relative to it (``lse = m + log s``).  Factored out of
+    :func:`project_lse` so a vocab-sharded head (SURVEY.md §3.3,
+    BASELINE config 3) can run this kernel on its LOCAL column shard and
+    merge the partials across chips with one ``pmax`` + one ``psum`` —
+    the same three-line merge the D-softmax blocks use below.
     """
     R = h.shape[0]
     R_pad = _round_up(max(R, 8), 8)
@@ -435,11 +437,36 @@ def project_lse(
         s_all = jnp.concatenate(ss, axis=1)
         m_g = jnp.max(m_all, axis=1, keepdims=True)
         s_g = jnp.sum(s_all * jnp.exp(m_all - m_g), axis=1, keepdims=True)
-        lse = m_g + jnp.log(s_g)
-    else:
-        m, s = block_ms(h, head["W"], head["b"])
-        lse = m + jnp.log(s)
-    return lse[:R]
+        return m_g[:R], s_g[:R]
+    m, s = block_ms(h, head["W"], head["b"])
+    return m[:R], s[:R]
+
+
+def project_lse(
+    h: jnp.ndarray,  # [R, H] fp32 (R = all beam rows, e.g. S*B)
+    head,  # {"W","b"} | {"blocks": [...]}; W may be an int8 quant dict
+    config: Config,
+    *,
+    tile_v: int = 2048,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+    int8_mxu: bool = False,
+    tile_r: Optional[int] = None,
+    chunk: int = 256,
+) -> jnp.ndarray:
+    """Per-row log-sum-exp of the full output projection: ``[R, 1]``.
+
+    The normalizer half of the decode head: the batched engine pairs this
+    with a cheap per-sentence candidate-column gather, so the only O(V)
+    work is this kernel — vocab-tiled, int8-dequant in VMEM, logits never
+    leaving the chip.
+    """
+    m, s = project_ms(
+        h, head, config,
+        tile_v=tile_v, compute_dtype=compute_dtype, interpret=interpret,
+        int8_mxu=int8_mxu, tile_r=tile_r, chunk=chunk,
+    )
+    return m + jnp.log(s)
 
 
 def project_candidates_ref(h, weight, scale, bias, cand_ids):

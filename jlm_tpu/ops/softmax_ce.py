@@ -155,7 +155,7 @@ def _ce_fwd_kernel(
 
 
 def _ce_bwd_dh_kernel(
-    y_ref, g_ref, lse_ref,  # [TR, 128] (col 0)
+    y_ref, ga_ref, gb_ref, lse_ref,  # [TR, 128] (col 0)
     h_ref,  # [TR, D]
     w_ref, scale_ref, b_ref,
     dh_out_ref,  # fp32 [TR, D]
@@ -166,6 +166,12 @@ def _ce_bwd_dh_kernel(
 ):
     # grid (row blocks, vocab tiles): dh accumulates across the vocab sweep
     # in the resident output block (consecutive revisits only).
+    #
+    # Generalized cotangent form ``gp = ga·p + gb·onehot(target)``: the
+    # plain CE vjp is (ga, gb) = (g, −g); the vocab-/block-PARTIAL vjp
+    # (sharded_head._vocab_parallel_nll_pallas) needs independent
+    # coefficients because the softmax-path and target-path cotangents
+    # arrive separately through the collective merge.
     v = pl.program_id(1)
 
     @pl.when(v == 0)
@@ -182,7 +188,9 @@ def _ce_bwd_dh_kernel(
         p = jnp.exp(logits - lse_ref[:, :1])
         col = (jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
                + v * tile_v + c0)
-        gp = g_ref[:, :1] * (p - (col == y_ref[:, :1]).astype(jnp.float32))
+        gp = ga_ref[:, :1] * p + gb_ref[:, :1] * (
+            col == y_ref[:, :1]
+        ).astype(jnp.float32)
         if quantized:
             w = (w_ref[:, c0:c0 + ck].astype(jnp.float32)
                  * scale_ref[0, c0:c0 + ck][None, :]).astype(compute_dtype)
@@ -197,7 +205,7 @@ def _ce_bwd_dh_kernel(
 
 
 def _ce_bwd_dw_kernel(
-    y_ref, g_ref, lse_ref,  # [TR, 128] (col 0)
+    y_ref, ga_ref, gb_ref, lse_ref,  # [TR, 128] (col 0)
     h_ref,  # [TR, D]
     w_ref, scale_ref, b_ref,
     dw_out_ref,  # fp32 [D, TV]
@@ -208,6 +216,7 @@ def _ce_bwd_dw_kernel(
     quantized: bool,
 ):
     # grid (vocab tiles, row blocks): dW/db accumulate across the row sweep.
+    # Same generalized ``gp = ga·p + gb·onehot`` form as the dh kernel.
     v, r = pl.program_id(0), pl.program_id(1)
 
     @pl.when(r == 0)
@@ -224,7 +233,9 @@ def _ce_bwd_dw_kernel(
         p = jnp.exp(logits - lse_ref[:, :1])
         col = (jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
                + v * tile_v + c0)
-        gp = g_ref[:, :1] * (p - (col == y_ref[:, :1]).astype(jnp.float32))
+        gp = ga_ref[:, :1] * p + gb_ref[:, :1] * (
+            col == y_ref[:, :1]
+        ).astype(jnp.float32)
         dw_out_ref[:, c0:c0 + ck] += jax.lax.dot_general(
             h_ref[:].astype(compute_dtype), gp.astype(compute_dtype),
             (((0,), (0,)), ((), ())),  # h^T @ gp
@@ -319,8 +330,15 @@ def _ce_fwd_impl(h, weight, scale, bias, targets, *, tile_v, compute_dtype,
     return lse - t, lse
 
 
-def _ce_bwd_impl(h, weight, scale, bias, targets, lse, g, *, tile_v,
+def _ce_bwd_impl(h, weight, scale, bias, targets, lse, g, gb=None, *, tile_v,
                  compute_dtype, interpret):
+    """Backward kernels with cotangent ``gp = g·p + gb·onehot(target)``.
+
+    ``gb=None`` means the plain-CE form ``gb = −g``; the vocab-/block-
+    partial vjp passes independent coefficients (see the dh kernel note).
+    """
+    if gb is None:
+        gb = -g
     B = h.shape[0]
     (hp, wp, sp, bp, y2, tr, tv, B_pad, V_pad, quantized) = _prep(
         h, weight, scale, bias, targets, tile_v, compute_dtype, "dh"
@@ -328,6 +346,7 @@ def _ce_bwd_impl(h, weight, scale, bias, targets, lse, g, *, tile_v,
     D = hp.shape[1]
     aux = jnp.zeros((B_pad, 128), jnp.float32)
     g2 = aux.at[:B, 0].set(g)
+    gb2 = aux.at[:B, 0].set(gb)
     lse2 = aux.at[:B, 0].set(lse)
 
     dh = pl.pallas_call(
@@ -335,6 +354,7 @@ def _ce_bwd_impl(h, weight, scale, bias, targets, lse, g, *, tile_v,
                           compute_dtype=compute_dtype, quantized=quantized),
         grid=(B_pad // tr, V_pad // tv),
         in_specs=[
+            pl.BlockSpec((tr, 128), lambda r, v: (r, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tr, 128), lambda r, v: (r, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tr, 128), lambda r, v: (r, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tr, 128), lambda r, v: (r, 0), memory_space=pltpu.VMEM),
@@ -347,18 +367,21 @@ def _ce_bwd_impl(h, weight, scale, bias, targets, lse, g, *, tile_v,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B_pad, D), jnp.float32),
         interpret=interpret,
-    )(y2, g2, lse2, hp, wp, sp, bp)
+    )(y2, g2, gb2, lse2, hp, wp, sp, bp)
 
     (hp, wp, sp, bp, y2, tr, tv, B_pad, V_pad, quantized) = _prep(
         h, weight, scale, bias, targets, tile_v, compute_dtype, "dw"
     )
-    g2 = jnp.zeros((B_pad, 128), jnp.float32).at[:B, 0].set(g)
-    lse2 = jnp.zeros((B_pad, 128), jnp.float32).at[:B, 0].set(lse)
+    aux = jnp.zeros((B_pad, 128), jnp.float32)
+    g2 = aux.at[:B, 0].set(g)
+    gb2 = aux.at[:B, 0].set(gb)
+    lse2 = aux.at[:B, 0].set(lse)
     dw, db = pl.pallas_call(
         functools.partial(_ce_bwd_dw_kernel, tile_v=tv,
                           compute_dtype=compute_dtype, quantized=quantized),
         grid=(V_pad // tv, B_pad // tr),
         in_specs=[
+            pl.BlockSpec((tr, 128), lambda v, r: (r, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tr, 128), lambda v, r: (r, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tr, 128), lambda v, r: (r, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tr, 128), lambda v, r: (r, 0), memory_space=pltpu.VMEM),
@@ -376,7 +399,7 @@ def _ce_bwd_impl(h, weight, scale, bias, targets, lse, g, *, tile_v,
             jax.ShapeDtypeStruct((1, V_pad), jnp.float32),
         ),
         interpret=interpret,
-    )(y2, g2, lse2, hp, wp, sp, bp)
+    )(y2, g2, gb2, lse2, hp, wp, sp, bp)
 
     V = bias.shape[-1]
     return dh[:B], dw[:, :V], db[0, :V]

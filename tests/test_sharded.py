@@ -89,6 +89,177 @@ def test_sharded_dsoftmax_forward_matches_unsharded():
     np.testing.assert_allclose(e_s, e_r, atol=1e-5)
 
 
+@pytest.mark.parametrize("seq_shard", [True, False])
+@pytest.mark.parametrize("quant", [False, True])
+def test_sharded_pallas_forward_matches_unsharded(tiny_params, seq_shard,
+                                                  quant):
+    """VERDICT r4 #1: the Pallas kernels compose with vocab sharding.
+
+    The shard_map body runs the fused LSTM cell + cand_dot on the shard's
+    own rows and project_ms (in-kernel int8 dequant) on its LOCAL head
+    columns with a pmax/psum merge; outputs must match the UNSHARDED
+    Pallas forward (same kernels, interpret mode) for both exchange
+    layouts and both weight formats."""
+    from jlm_tpu.decoder.engine import build_decode_head, make_pallas_forward
+    from jlm_tpu.ops.quant import quantize_params
+
+    cfg, mesh = cfg_mesh()
+    base = quantize_params(tiny_params) if quant else tiny_params
+    params = dict(jax.tree.map(jnp.asarray, base))
+    params["_decode"] = build_decode_head(params, cfg)
+    fwd_s = make_sharded_forward(mesh, cfg, use_pallas=True, interpret=True,
+                                 seq_shard=seq_shard, int8_mxu=False)
+    fwd_1 = make_pallas_forward(cfg, interpret=True, int8_mxu=False)
+    params_s = fwd_s.place_params(params)
+
+    S, B, C = 8, 2, 4
+    rng = np.random.default_rng(5)
+    words = jnp.asarray(rng.integers(0, 256, (S, B)), jnp.int32)
+    state = initial_state(cfg, S * B)
+    look = jnp.asarray(rng.integers(0, 256, (S, 1, C)), jnp.int32)
+    pay_s = jax.tree.map(lambda a: a[:, 0], fwd_s.prepare(params_s, look))
+    pay_1 = jax.tree.map(lambda a: a[:, 0], fwd_1.prepare(params, look))
+    c_s, e_s, st_s = jax.jit(fwd_s)(params_s, words, state, pay_s)
+    c_r, e_r, st_r = jax.jit(fwd_1)(params, words, state, pay_1)
+    np.testing.assert_allclose(c_s, c_r, atol=1e-4)
+    np.testing.assert_allclose(e_s, e_r, atol=1e-4)
+    np.testing.assert_allclose(st_s[0], st_r[0], atol=1e-5)
+    np.testing.assert_allclose(st_s[1], st_r[1], atol=1e-5)
+
+    # score_hidden (multi-root decode_long seeding) through the same merge
+    h3 = jnp.asarray(rng.normal(size=(S, B, cfg.hidden_size)), jnp.float32)
+    sc_s = jax.jit(fwd_s.score_hidden)(params_s, h3, pay_s)
+    sc_r = jax.jit(fwd_1.score_hidden)(params, h3, pay_1)
+    np.testing.assert_allclose(sc_s, sc_r, atol=1e-4)
+
+
+@pytest.mark.parametrize("int8_mxu", [False, True])
+def test_sharded_pallas_dsoftmax_int8(int8_mxu):
+    """D-softmax + int8 head under vocab sharding: per-block local columns
+    through the projection kernel (native int8-MXU variant included),
+    merged lse must match the unsharded Pallas D-softmax path."""
+    from jlm_tpu.decoder.engine import build_decode_head, make_pallas_forward
+    from jlm_tpu.ops.quant import quantize_params
+
+    cfg, mesh = cfg_mesh(
+        head="dsoftmax",
+        dsoftmax=DSoftmaxConfig(
+            block_sizes=(64, 64, 128), block_dims=(64, 32, 16), mode="prefix"
+        ),
+    )
+    params = dict(jax.tree.map(jnp.asarray, quantize_params(init_params(cfg))))
+    params["_decode"] = build_decode_head(params, cfg)
+    fwd_s = make_sharded_forward(mesh, cfg, use_pallas=True, interpret=True,
+                                 int8_mxu=int8_mxu)
+    fwd_1 = make_pallas_forward(cfg, interpret=True, int8_mxu=int8_mxu)
+    params_s = fwd_s.place_params(params)
+
+    S, B, C = 8, 2, 6
+    rng = np.random.default_rng(7)
+    words = jnp.asarray(rng.integers(0, 256, (S, B)), jnp.int32)
+    state = initial_state(cfg, S * B)
+    look = jnp.asarray([[[0, 63, 64, 127, 128, 255]]] * S, jnp.int32)
+    pay_s = jax.tree.map(lambda a: a[:, 0], fwd_s.prepare(params_s, look))
+    pay_1 = jax.tree.map(lambda a: a[:, 0], fwd_1.prepare(params, look))
+    c_s, e_s, _ = jax.jit(fwd_s)(params_s, words, state, pay_s)
+    c_r, e_r, _ = jax.jit(fwd_1)(params, words, state, pay_1)
+    # int8-MXU re-quantizes activations per row block; identical inputs on
+    # both paths, so only the column-split changes fp32 sum order.
+    np.testing.assert_allclose(c_s, c_r, atol=1e-4)
+    np.testing.assert_allclose(e_s, e_r, atol=1e-4)
+
+
+def test_sharded_pallas_decode_top1_parity(tiny_params, lexicon, vocab):
+    """End-to-end: BeamDecoder over the Pallas vocab-sharded forward ==
+    numpy oracle (config 3 with the real kernels in the shard_map body)."""
+    cfg, mesh = cfg_mesh()
+    params = jax.tree.map(jnp.asarray, tiny_params)
+    sharded = shard_params(params, cfg, mesh)
+    fwd = make_sharded_forward(mesh, cfg, use_pallas=True, interpret=True)
+    eng = BeamDecoder(sharded, lexicon, vocab, cfg, forward_fn=fwd)
+    orc = OracleDecoder(OracleLM(tiny_params, cfg), lexicon, vocab, cfg)
+    kanas = ["きょうはいいてんき", "あめがふる", "かみとかわ", "はしをみる"]
+    res = eng.decode_batch(kanas, n_best=1)
+    for kana, r in zip(kanas, res):
+        r_o = orc.decode(kana)[0]
+        assert r[0].segments == r_o.segments, kana
+        assert abs(r[0].score - r_o.score) < 1e-3
+
+
+def test_sharded_pallas_decode_long(tiny_params, lexicon, vocab):
+    """Multi-root decode_long under the Pallas sharded forward: the
+    score_hidden hook routes seed scoring through the same pmax/psum head
+    merge — path AND score exact vs the uncapped oracle."""
+    cfg, mesh = cfg_mesh()
+    cfg = cfg.replace(max_kana_len=8)
+    params = jax.tree.map(jnp.asarray, tiny_params)
+    sharded = shard_params(params, cfg, mesh)
+    fwd = make_sharded_forward(mesh, cfg, use_pallas=True, interpret=True)
+    eng = BeamDecoder(sharded, lexicon, vocab, cfg, forward_fn=fwd)
+    orc = OracleDecoder(
+        OracleLM(tiny_params, cfg), lexicon, vocab,
+        cfg.replace(max_kana_len=64),
+    )
+    kana = "きょうはいいてんきあめがふるよ"
+    r_s = eng.decode(kana, n_best=1)[0]
+    r_o = orc.decode(kana, n_best=1)[0]
+    assert r_s.segments == r_o.segments
+    assert abs(r_s.score - r_o.score) < 1e-3
+
+
+@pytest.mark.parametrize("head", ["full", "dsoftmax"])
+def test_vocab_parallel_nll_pallas(head):
+    """Vocab-parallel FUSED CE (VERDICT r4 #1): per-shard partial (m,s,t)
+    from the Pallas CE kernel + collective merge in the custom VJP.  Loss,
+    head grads, AND the hs cotangent (the boundary-psum subtlety) must
+    match the unsharded jnp loss."""
+    if head == "dsoftmax":
+        cfg, mesh = cfg_mesh(
+            head="dsoftmax",
+            dsoftmax=DSoftmaxConfig(
+                block_sizes=(64, 64, 128), block_dims=(64, 32, 16),
+                mode="prefix",
+            ),
+        )
+    else:
+        cfg, mesh = cfg_mesh()
+    params = jax.tree.map(jnp.asarray, init_params(cfg))
+    sharded = shard_params(params, cfg, mesh)
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(0, 256, (4, 6)), jnp.int32)
+    tgt = jnp.asarray(rng.integers(0, 256, (4, 6)), jnp.int32)
+    hs, _ = forward_hidden(params, cfg, ids, initial_state(cfg, 4),
+                           precision="highest")
+    loss_fn = vocab_parallel_nll(mesh, cfg, use_pallas=True)
+
+    l_s = loss_fn(sharded, hs, tgt)
+    l_r = full_softmax_loss(params, cfg, hs, tgt, precision="highest")
+    np.testing.assert_allclose(float(l_s), float(l_r), atol=1e-5)
+
+    g_s = jax.grad(lambda p: loss_fn(p, hs, tgt))(sharded)
+    g_r = jax.grad(
+        lambda p: full_softmax_loss(p, cfg, hs, tgt, precision="highest")
+    )(params)
+    if head == "dsoftmax":
+        for bs, br in zip(g_s["head"]["blocks"], g_r["head"]["blocks"]):
+            np.testing.assert_allclose(
+                np.asarray(bs["W"]), np.asarray(br["W"]), atol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(bs["b"]), np.asarray(br["b"]), atol=1e-5
+            )
+    else:
+        np.testing.assert_allclose(
+            np.asarray(g_s["head"]["W"]), np.asarray(g_r["head"]["W"]),
+            atol=1e-5,
+        )
+    gh_s = jax.grad(lambda h: loss_fn(sharded, h, tgt))(hs)
+    gh_r = jax.grad(
+        lambda h: full_softmax_loss(params, cfg, h, tgt, precision="highest")
+    )(hs)
+    np.testing.assert_allclose(np.asarray(gh_s), np.asarray(gh_r), atol=1e-5)
+
+
 def test_sharded_topk_exact_with_ties():
     cfg, mesh = cfg_mesh()
     rng = np.random.default_rng(0)
