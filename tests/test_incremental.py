@@ -274,3 +274,46 @@ def test_lm_predictor_beats_static(tiny_params, tiny_config, lexicon, vocab):
     lm, static = run(None), run("static")
     assert lm > static, (lm, static)
     assert lm > 0.25, lm  # untrained floor; trained models measure 0.6-0.8
+
+
+def test_pallas_lse_keystrokes_match(tiny_params, tiny_config, lexicon,
+                                     vocab):
+    """VERDICT r4 weak #5: the keystroke step's normalizer through the
+    project_lse kernel (interpret mode) — no [rows, V] logits — must match
+    the jnp-lse path keystroke for keystroke (fp32 kernel, tiny fp
+    reorder only)."""
+    inc_p = IncrementalDecoder(
+        tiny_params, lexicon, vocab, tiny_config, use_pallas=True
+    )
+    inc_j = IncrementalDecoder(tiny_params, lexicon, vocab, tiny_config)
+    for ch in "きょうはいい":
+        rp = inc_p.push(ch, n_best=2)
+        rj = inc_j.push(ch, n_best=2)
+        assert [r.segments for r in rp] == [r.segments for r in rj]
+        np.testing.assert_allclose(
+            [r.score for r in rp], [r.score for r in rj], atol=1e-3
+        )
+
+
+def test_pallas_lse_int8_dsoftmax_keystrokes(lexicon, vocab):
+    """Same check at the int8 D-softmax head (the config-5 serving shape's
+    weight format): per-block kernel calls + merged lse."""
+    from jlm_tpu.config import Config, DSoftmaxConfig
+    from jlm_tpu.models import init_params
+
+    cfg = Config(
+        vocab_size=256, embed_size=32, hidden_size=64, beam_width=4,
+        max_kana_len=30, max_nodes_per_frame=16, seed=3,
+        head="dsoftmax",
+        dsoftmax=DSoftmaxConfig(
+            block_sizes=(64, 64, 128), block_dims=(64, 32, 16), mode="prefix"
+        ),
+    )
+    qp = quantize_params(init_params(cfg))
+    inc_p = IncrementalDecoder(qp, lexicon, vocab, cfg, use_pallas=True)
+    inc_j = IncrementalDecoder(qp, lexicon, vocab, cfg)
+    for ch in "あめがふる":
+        rp = inc_p.push(ch, n_best=1)
+        rj = inc_j.push(ch, n_best=1)
+        assert rp[0].segments == rj[0].segments
+        assert abs(rp[0].score - rj[0].score) < 1e-3
