@@ -279,33 +279,72 @@ def main(argv=None):
 
     # ---- scaling model: exact per-frame collective bytes + projection ----
     # (VERDICT r2 missing #2: no multi-chip hardware here, so the >=90%-
-    # linear target is backed by an exact comms-volume model.)
+    # linear target is backed by an exact comms-volume model.  VERDICT r4
+    # weak #4: every model input below is measured THIS RUN and carries its
+    # provenance in the report.)
     from jlm_tpu.parallel.comms_model import (
         DCN_GBPS, ICI_GBPS, decode_scaling_projection,
     )
 
-    # measured per-frame device time of config 2's scan and the head's
-    # share of it (ablation: scripts/profile_decode_split.py at S=512)
     S_model = 512
     model_kanas = (kanas * 11)[:512]
-    # frame count from the engine's own time-bucket rule (ADVICE r3: a
-    # hardcoded 16 silently mis-computes if the test-set length
-    # distribution changes)
-    n_frames = min(
-        BeamDecoder._bucket(max(len(k) for k in model_kanas)),
-        cfg2.max_kana_len,
+    # frame count from the engine's ACTUAL per-chunk rule: length-sorted
+    # 512-chunks, each scanning _t_bucket(max len in chunk) frames
+    # (VERDICT r4 weak #4: the old _bucket power-of-two rule overstated
+    # frames by ~25% at the 9-kana model set — 16 vs 12).
+    model_stream = sorted(model_kanas, key=len)
+    n_frames = sum(
+        min(BeamDecoder._t_bucket(
+            max(len(k) for k in model_stream[i:i + 512])),
+            cfg2.max_kana_len)
+        for i in range(0, len(model_stream), 512)
     )
     frame_ms = 1e3 * (sum(len(k) for k in model_kanas)
                       / max(cps2, 1e-9)) / n_frames
-    # lse-head share of the frame: measured by profile_decode_split.py at
-    # S=512 on v5e (round-3 run; re-derive with that script when the frame
-    # composition changes)
-    head_frac = 0.55
+    # lse-head share of the frame: measured HERE on the bench's own chip
+    # by timing the shipping lse kernel at the engine's row shape (bf16
+    # full head, S·B rows), not a stale round-3 constant.
+    from jlm_tpu.decoder.engine import build_decode_head
+    from jlm_tpu.ops.project import project_lse
+
+    dparams = dict(jax.tree.map(jax.numpy.asarray, params))
+    dec_prep = build_decode_head(dparams, cfg2, jax.numpy.bfloat16)
+    h_rows = jax.numpy.asarray(
+        np.random.default_rng(0).normal(
+            size=(S_model * cfg2.beam_pad, H)
+        ).astype(np.float32),
+        jax.numpy.bfloat16,
+    )
+    lse_fn = jax.jit(lambda h: project_lse(
+        h, dec_prep["head_c"], cfg2, compute_dtype=jax.numpy.bfloat16,
+    ))
+    lse_fn(h_rows).block_until_ready()
+    lse_dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(20):
+            out = lse_fn(h_rows)
+        out.block_until_ready()
+        lse_dt = min(lse_dt, (time.time() - t0) / 20)
+    head_frac = min(0.95, 1e3 * lse_dt / max(frame_ms, 1e-9))
     scaling = {
         "note": "analytic ring-allreduce model over the exact per-frame "
                 "collective payloads of sharded_head.py; data-axis scaling "
                 "is communication-free (independent lattices) and linear "
                 "by construction (modeled, not hardware-measured)",
+        "model_inputs": {
+            "frame_ms": round(frame_ms, 3),
+            "frame_ms_provenance": "config-2 measured chars/s this run / "
+                                   "engine _t_bucket frames per "
+                                   "length-sorted 512-chunk",
+            "n_frames_per_pass": n_frames,
+            "head_frac": round(head_frac, 3),
+            "head_frac_provenance": "project_lse (bf16 full head, "
+                                    f"{S_model * cfg2.beam_pad} rows) timed "
+                                    f"this run: {1e3 * lse_dt:.3f} ms/call",
+            "ici_gbps_assumed": ICI_GBPS,
+            "dcn_gbps_assumed": DCN_GBPS,
+        },
         "ici": decode_scaling_projection(
             cfg2, S_model, frame_ms, head_frac, n_vocab=4, gbps=ICI_GBPS),
         "dcn": decode_scaling_projection(
@@ -320,10 +359,175 @@ def main(argv=None):
             seq_shard=True, htop_bytes=2),
     }
     report["scaling_model"] = scaling
-    log(f"scaling model: vocab=4 on ICI eff="
+    flush_report()
+    log(f"scaling model: frame_ms={frame_ms:.2f} head_frac={head_frac:.2f} "
+        f"(measured); vocab=4 on ICI eff="
         f"{scaling['ici']['eff_vs_ideal']:.2f} (legacy) / "
         f"{scaling['ici_seq_shard']['eff_vs_ideal']:.2f} (seq-sharded); "
         f"data-axis eff=1.0 modeled (no cross-talk)")
+
+    # ---- sharded program on one real chip: (1,1) mesh, Pallas kernels ----
+    # (VERDICT r4 #1 done-criterion: the vocab-sharded program with the
+    # Pallas kernels inside shard_map must hold the unsharded headline on a
+    # (1,1) mesh — same kernels, trivial collectives.)
+    from jlm_tpu.parallel.mesh import make_mesh
+    from jlm_tpu.parallel.sharded_head import (
+        make_sharded_forward, shard_params,
+    )
+
+    cfg3s = cfg3.replace(mesh_data=1, mesh_vocab=1)
+    mesh11 = make_mesh(cfg3s)
+    fwd11 = make_sharded_forward(
+        mesh11, cfg3s, use_pallas=True, compute_dtype=jax.numpy.bfloat16,
+        interpret=jax.default_backend() != "tpu",
+    )
+    eng3s = BeamDecoder(
+        shard_params(jax.tree.map(jax.numpy.asarray, params3), cfg3s, mesh11),
+        lexicon, vocab, cfg3s, forward_fn=fwd11,
+    )
+    cps3s, res3s = tpu_throughput(eng3s)
+    orc3 = OracleDecoder(OracleLM(params3, cfg3), lexicon, vocab, cfg3)
+    par3s = sum(
+        r[0].segments == orc3.decode(k)[0].segments
+        for k, r in zip(kanas[:10], res3s[:10])
+    )
+    report["configs"]["3_dsoftmax"]["sharded_pallas_1x1_chars_per_sec"] = (
+        round(cps3s, 1)
+    )
+    report["configs"]["3_dsoftmax"]["sharded_pallas_1x1_vs_unsharded"] = (
+        round(cps3s / max(cps3, 1e-9), 3)
+    )
+    report["configs"]["3_dsoftmax"]["sharded_pallas_1x1_parity"] = (
+        f"{par3s}/10"
+    )
+    flush_report()
+    log(f"config3 sharded-pallas (1,1): {cps3s:.1f} chars/s "
+        f"({cps3s / max(cps3, 1e-9):.2f}x unsharded), parity {par3s}/10")
+
+    # ---- realistic-lexicon stress row (VERDICT r4 missing #3) -------------
+    from jlm_tpu.data.realistic import (
+        generate_realistic_lexicon,
+        generate_realistic_test_set,
+        lattice_density_stats,
+    )
+
+    rvocab = generate_realistic_lexicon(100_000, seed=7)
+    rlex = Lexicon.from_vocab(rvocab)
+    rtests = generate_realistic_test_set(rvocab, 50, seed=99)
+    rkanas = [k for k, _ in rtests]
+    cfgR = cfg5.replace(max_nodes_per_frame=32, node_overflow="warn")
+    rstats = lattice_density_stats(rkanas, rlex, rvocab, cfgR)
+    paramsR = quantize_params(init_params(cfgR))
+    engR = BeamDecoder(paramsR, rlex, rvocab, cfgR, precision="default")
+    rstream = (rkanas * mult)[: 64 if args.quick else 512]
+    rchars = sum(len(k) for k in rstream)
+    engR.decode_stream(rstream * reps, chunk_size=len(rstream), n_best=1)
+    rdt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        rres = engR.decode_stream(rstream * reps, chunk_size=len(rstream),
+                                  n_best=1)
+        rdt = min(rdt, (time.time() - t0) / reps)
+    cpsR = rchars / rdt
+    orcR = OracleDecoder(OracleLM(paramsR, cfgR), rlex, rvocab, cfgR)
+    parR = sum(
+        r[0].segments == orcR.decode(k)[0].segments
+        for k, r in zip(rkanas[:10], rres[:10])
+    )
+    report["configs"]["6_realistic_lexicon_100k"] = {
+        "chars_per_sec": round(cpsR, 1),
+        "vs_baseline": round(cpsR / base, 2),
+        "top1_parity_sample": f"{parR}/10",
+        "lattice_stats": {k: round(v, 3) for k, v in rstats.items()},
+        "max_nodes_per_frame": cfgR.max_nodes_per_frame,
+        "note": "100k-word synthetic lexicon at measured real homophone "
+                "density (~O(10·T) nodes/sentence, SURVEY §4.5); N=32 "
+                "absorbs the density with zero node drops (N=16 drops "
+                "~8.5%); int8-MXU 2-layer D-softmax engine",
+    }
+    flush_report()
+    log(f"config6 realistic-lexicon: {cpsR:.1f} chars/s, parity {parR}/10, "
+        f"nodes/kana={rstats['nodes_per_kana']:.1f}")
+
+    # ---- server at the config-5 serving shape (VERDICT r4 weak #5) --------
+    from jlm_tpu.decoder.server import SessionServer
+
+    srv = SessionServer(qp5, lex5, vocab5, cfg5, max_sessions=64,
+                        precision="default", probes=False)
+    sids = [srv.open() for _ in range(64)]
+    ev_text = (kanas * 13)[:64]
+    # warm
+    srv.push([(s, ev_text[i][0]) for i, s in enumerate(sids)])
+    n_steps = 2 if args.quick else 6
+    t0 = time.time()
+    n_ev = 0
+    for step_i in range(1, n_steps + 1):
+        evs = [
+            (s, ev_text[i][step_i % len(ev_text[i])])
+            for i, s in enumerate(sids)
+        ]
+        srv.push(evs)
+        n_ev += len(evs)
+    srv_dt = time.time() - t0
+    report["configs"]["5_2layer_100k_streaming"]["server_100k"] = {
+        "sessions": 64,
+        "events_per_step": 64,
+        "ms_per_keystroke_amortized": round(1e3 * srv_dt / n_ev, 3),
+        "keystrokes_per_sec": round(n_ev / srv_dt, 1),
+        "note": "SessionServer at the 100k int8 D-softmax head, probes "
+                "off; lse via the project_lse kernel (no [E*B, V] logits "
+                "materialization — VERDICT r4 weak #5)",
+    }
+    flush_report()
+    log(f"server@100k: {1e3 * srv_dt / n_ev:.2f} ms/keystroke amortized")
+
+    # ---- colocated (no-tunnel) keystroke estimate (VERDICT r4 weak #6) ----
+    # The zero-think keystroke median is RPC-bound (~30 ms through the
+    # tunnel).  A colocated IME server would pay dispatch + device time
+    # only; estimate it by CHAINING M unified steps device-side (no
+    # per-step fetch) and amortizing one final block.
+    inc_c = IncrementalDecoder(qp, lexicon, vocab, cfg2,
+                               precision="default", speculate=8)
+    inc_c.reset()
+    inc_c.push(kanas[0][0])  # compile + warm the unified program
+    pend = inc_c._pending
+    if pend is not None and pend.get("thread") is not None:
+        pend["thread"].join()
+    # re-dispatch the SAME unified call M times back-to-back
+    import jax.numpy as jnp_
+
+    nodes = inc_c._frame_nodes(1, kanas[0][0])
+    probes = inc_c._build_probes(kanas[0][0])
+    M_chain = 20 if args.quick else 50
+    t0 = time.time()
+    for _ in range(M_chain):
+        inc_c._dispatch_unified(1, nodes, probes)
+        inc_c._pending["thread"].join()
+    coloc_ms = 1e3 * (time.time() - t0) / M_chain
+    t0 = time.time()
+    outs = []
+    for _ in range(M_chain):
+        caches, packed = inc_c._unified(
+            inc_c.params, inc_c._score, inc_c._lse, inc_c._eos, inc_c._c,
+            inc_c._h, inc_c._htop, jnp_.int32(1),
+            jnp_.zeros((3 * 16 + 4 * 96 + 16 * (3 * 16 + 3 * 96 + 2),),
+                       jnp_.int32),
+        )
+        outs.append(packed)
+    outs[-1].block_until_ready()
+    device_ms = 1e3 * (time.time() - t0) / M_chain
+    report["configs"]["4_int8_incremental"]["keystroke_colocated_estimate"] = {
+        "device_ms_per_unified_step_pipelined": round(device_ms, 2),
+        "dispatch_plus_fetch_ms_tunneled": round(coloc_ms, 2),
+        "note": "pipelined dispatch of the unified keystroke program "
+                "without per-step fetches amortizes the host link away: "
+                "the device_ms figure is what a colocated deployment "
+                "(IME server on the TPU host) would pay per keystroke; "
+                "the tunneled figure includes this sandbox's ~30 ms RPC",
+    }
+    flush_report()
+    log(f"keystroke colocated estimate: {device_ms:.2f} ms device-pipelined "
+        f"vs {coloc_ms:.2f} ms tunneled")
 
     # ---- config 5 trained-weight quality (VERDICT r1 #8) -------------------
     if args.exp5 and args.data5:
@@ -355,6 +559,44 @@ def main(argv=None):
         }
         log(f"config5 trained: top1 {rep_t.sentence_accuracy:.3f} vs Bayes ceiling "
             f"{ceil['top1_ceiling']:.3f}, char {rep_t.char_accuracy:.3f}")
+
+        # trained-weight SPECULATIVE keystrokes (VERDICT r4 missing #2: the
+        # recorded hit rates were untrained-weights only; config 4's
+        # headline latency depends on the trained hit rate)
+        def trained_keystrokes(spec_k):
+            inc_t = IncrementalDecoder(params_t, lex_t, vocab_t, cfg_t,
+                                       precision="default",
+                                       speculate=spec_k)
+            warm = tests_t[0][0][: cfg_t.max_kana_len]
+            for ch in warm:
+                inc_t.push(ch)
+            inc_t.spec_hits = inc_t.spec_misses = 0
+            lat_t = []
+            for kana_t, _g in tests_t[1:9]:
+                inc_t.reset()
+                for ch in kana_t[: cfg_t.max_kana_len]:
+                    time.sleep(0.05)
+                    t0 = time.time()
+                    inc_t.push(ch)
+                    lat_t.append(time.time() - t0)
+            tot = max(1, inc_t.spec_hits + inc_t.spec_misses)
+            return (sorted(lat_t)[len(lat_t) // 2] * 1e3,
+                    inc_t.spec_hits / tot)
+
+        med4, hit4 = trained_keystrokes(4)
+        med8, hit8 = trained_keystrokes(8)
+        report["configs"]["4_int8_incremental"]["trained_speculation"] = {
+            "keystroke_ms_median_k4": round(med4, 1),
+            "spec_hit_rate_k4": round(hit4, 3),
+            "keystroke_ms_median_k8": round(med8, 1),
+            "spec_hit_rate_k8": round(hit8, 3),
+            "checkpoint": args.exp5,
+            "note": "trained config-5 weights driving the LM next-kana "
+                    "predictor at 50 ms typing cadence (VERDICT r4 "
+                    "missing #2: previous rows were untrained-weights)",
+        }
+        log(f"trained spec: K=4 {med4:.1f} ms hit {hit4:.2f}; "
+            f"K=8 {med8:.1f} ms hit {hit8:.2f}")
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
