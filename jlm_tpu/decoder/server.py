@@ -80,7 +80,11 @@ def _batch_keystroke_step(
     ext = score_e + logits - lse_e
     ext = jnp.where(node_mask[:, :, None], ext, NEG)
 
-    top_scores, top_idx = jax.lax.top_k(ext.reshape(E, N * B), B)
+    from jlm_tpu.decoder.engine import topk_stable
+
+    top_scores, top_idx = topk_stable(
+        ext.reshape(E, N * B), B, config.topk_mode
+    )
     top_scores = jnp.where(jnp.arange(B) < config.beam_width, top_scores, NEG)
     sel_n = top_idx // B
     sel_p = top_idx % B
