@@ -138,7 +138,7 @@ def main():
     # mis-compute MFU when the batching strategy changes).
     sorted_lens = sorted(len(k) for k in stream * reps)
     total_frames = sum(
-        min(BeamDecoder._t_bucket(max(sorted_lens[i:i + 512])),
+        min(engine._t_bucket(max(sorted_lens[i:i + 512])),
             config.max_kana_len)
         for i in range(0, len(sorted_lens), 512)
     ) / reps  # per-rep frames across the sorted chunks

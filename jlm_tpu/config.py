@@ -90,6 +90,14 @@ class Config:
     # sort-based TopK XLA emits at [S, 640]→10 — VERDICT r4 weak #1);
     # "sort" = plain lax.top_k (r1–r4 path, kept for A/B).
     topk_mode: str = "argmax"
+    # Frame-count bucket granularity: a batch scans
+    # round_up(max_len, t_bucket_multiple) frames (min 4).  Device time is
+    # LINEAR in scanned frames, so finer buckets are a direct throughput
+    # win (measured on the bench stream: mult 4 → 1 cuts frames/rep
+    # 10.67 → 9.67, +9%); the cost is more distinct compiled programs
+    # (≤ max_kana_len per batch-size bucket, amortized by the persistent
+    # compile cache).  Raise to 4 to bound compile count on cold caches.
+    t_bucket_multiple: int = 1
     # Policy when a frame has more nodes than max_nodes_per_frame.  The
     # reference's lattices are uncapped Python lists (SURVEY.md §4.5), so a
     # silent drop is a top-1 parity hazard against dense homophone frames:

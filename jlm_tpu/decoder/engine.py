@@ -915,18 +915,18 @@ class BeamDecoder:
             b *= 2
         return b
 
-    @staticmethod
-    def _t_bucket(n: int) -> int:
-        """Pad frame counts to multiples of 4 (min 4).
+    def _t_bucket(self, n: int) -> int:
+        """Pad frame counts to ``config.t_bucket_multiple`` (min 4).
 
         Finer than the power-of-two sentence-batch buckets: device time is
         LINEAR in the scanned frame count (each frame is a fixed-cost step
         at a given S), so rounding a max length of 9 up to 16 wastes ~40%
-        of the scan.  Multiples of 4 bound the distinct compiled programs
-        at ``max_kana_len/4`` per batch shape while keeping the waste
-        under 3 frames.
+        of the scan.  Default multiple 1 = exact per-chunk max length
+        (round 5; mult-4 measured 10.67 vs 9.67 frames/rep on the bench
+        stream); compile count stays bounded by the persistent cache.
         """
-        return max(4, -(-n // 4) * 4)
+        m = max(1, self.config.t_bucket_multiple)
+        return max(4, -(-n // m) * m)
 
     def _pack(self, kanas: List[str]):
         """Bucket-pad, build lattices (native if available), time-bucket."""

@@ -294,7 +294,7 @@ def main(argv=None):
     # frames by ~25% at the 9-kana model set — 16 vs 12).
     model_stream = sorted(model_kanas, key=len)
     n_frames = sum(
-        min(BeamDecoder._t_bucket(
+        min(eng2._t_bucket(
             max(len(k) for k in model_stream[i:i + 512])),
             cfg2.max_kana_len)
         for i in range(0, len(model_stream), 512)

@@ -93,13 +93,18 @@ def test_stream_sorted_chunks_restore_order(engine):
         assert rs[0].segments == single[0].segments, kana
 
 
-def test_t_bucket_rule():
-    """Frame buckets are multiples of 4 (min 4), capped by the caller."""
-    assert BeamDecoder._t_bucket(1) == 4
-    assert BeamDecoder._t_bucket(4) == 4
-    assert BeamDecoder._t_bucket(5) == 8
-    assert BeamDecoder._t_bucket(9) == 12
-    assert BeamDecoder._t_bucket(14) == 16
+def test_t_bucket_rule(tiny_params, tiny_config, lexicon, vocab):
+    """Frame buckets honor config.t_bucket_multiple (min 4)."""
+    eng = BeamDecoder(tiny_params, lexicon, vocab, tiny_config)
+    assert eng._t_bucket(1) == 4
+    assert eng._t_bucket(4) == 4
+    assert eng._t_bucket(5) == 5  # default multiple 1: exact max length
+    assert eng._t_bucket(9) == 9
+    eng4 = BeamDecoder(tiny_params, lexicon, vocab,
+                       tiny_config.replace(t_bucket_multiple=4))
+    assert eng4._t_bucket(5) == 8
+    assert eng4._t_bucket(9) == 12
+    assert eng4._t_bucket(14) == 16
 
 
 def test_quantized_parity_tolerance(tiny_params, tiny_config, lexicon, vocab):
