@@ -290,9 +290,13 @@ def make_pallas_forward(
         c, h = state
         new_c, new_h = [], []
         for l, layer in enumerate(params["_decode"]["lstm_c"]):
+            # c passes in cache dtype and c' emits in compute dtype (the
+            # ring's cache dtype in speed mode): no fp32 HBM round trips
+            # around the kernel (round 5 — see lstm_cell_step docstring).
             c_l, h_l = lstm_cell_step(
                 x, h[l], c[l], layer["W"], layer["b"], config.forget_bias,
                 compute_dtype=compute_dtype, interpret=interpret,
+                c_out_dtype=compute_dtype,
             )
             new_c.append(c_l)
             new_h.append(h_l)  # compute dtype; the ring applies cache dtype

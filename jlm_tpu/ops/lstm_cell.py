@@ -61,7 +61,7 @@ def _cell_kernel(
         jax.nn.sigmoid(f + forget_bias) * c_ref[:].astype(jnp.float32)
         + jax.nn.sigmoid(i) * jnp.tanh(j)
     )
-    c_out_ref[:] = c_new
+    c_out_ref[:] = c_new.astype(c_out_ref.dtype)
     h_out_ref[:] = (jax.nn.sigmoid(o) * jnp.tanh(c_new)).astype(
         h_out_ref.dtype
     )
@@ -70,26 +70,36 @@ def _cell_kernel(
 def lstm_cell_step(
     x: jnp.ndarray,  # [R, E]
     h: jnp.ndarray,  # [R, H]
-    c: jnp.ndarray,  # [R, H]
+    c: jnp.ndarray,  # [R, H] (any float dtype — cast in-register)
     W: jnp.ndarray,  # [(E+H), 4H]
     b: jnp.ndarray,  # [4H]
     forget_bias: float = 1.0,
     *,
     compute_dtype=jnp.float32,
     interpret: bool = False,
+    c_out_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One fused LSTM cell step: returns ``(c', h')``.
 
     ``h'`` is emitted in ``compute_dtype`` (it feeds the projection kernel
-    next); ``c'`` in fp32 (it only feeds the next cell step through the
-    engine's ring cache, which applies its own cache dtype).
+    next); ``c'`` in ``c_out_dtype`` (default fp32).  ``c`` passes through
+    in ITS OWN dtype and is cast to fp32 in-register — round 5: the old
+    caller-side ``c.astype(fp32)`` materialized a 10 MB fp32 copy in HBM
+    every frame just to feed a kernel that casts anyway, and the fp32
+    ``c'`` was immediately cast back to the engine's bf16 ring cache
+    (value-identical either way: one bf16 rounding of the fp32 in-kernel
+    result).
     """
     R, E = x.shape
     H = h.shape[1]
     x = x.astype(compute_dtype)
     h = h.astype(compute_dtype)
     W = W.astype(compute_dtype)
+    if c_out_dtype is None:
+        c_out_dtype = jnp.float32
     cd_size = jnp.dtype(compute_dtype).itemsize
+    c_size = c.dtype.itemsize
+    co_size = jnp.dtype(c_out_dtype).itemsize
 
     # Row tile: largest that fits the ~13 MB budget next to the resident
     # weights.  Per-row bytes: x + h + c in (double-buffered), z + gate
@@ -98,9 +108,9 @@ def lstm_cell_step(
     budget = 13 * 1024 * 1024 - w_bytes
     per_row = (
         2 * (E + H) * cd_size  # x + h in, double-buffered -> x2 below
-        + 2 * H * 4  # c in
+        + 2 * H * c_size  # c in
         + 3 * 4 * H * 4  # z + gate temporaries (fp32)
-        + 2 * H * (4 + cd_size)  # c' + h' out, double-buffered
+        + 2 * H * (co_size + cd_size)  # c' + h' out, double-buffered
     )
     tr = 8
     while tr < 2048 and (tr * 2) * per_row <= budget and tr * 2 <= _round_up(R, 8):
@@ -130,7 +140,7 @@ def lstm_cell_step(
             pl.BlockSpec((tr, H), lambda r: (r, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((R_pad, H), jnp.float32),
+            jax.ShapeDtypeStruct((R_pad, H), c_out_dtype),
             jax.ShapeDtypeStruct((R_pad, H), compute_dtype),
         ),
         cost_estimate=pl.CostEstimate(
@@ -139,7 +149,7 @@ def lstm_cell_step(
             transcendentals=5 * R_pad * H,
         ),
         interpret=interpret,
-    )(x, h, c.astype(jnp.float32), W, b.reshape(1, -1).astype(jnp.float32))
+    )(x, h, c, W, b.reshape(1, -1).astype(jnp.float32))
     return c_new[:R], h_new[:R]
 
 

@@ -435,6 +435,7 @@ def _make_sharded_pallas_forward(
             c_l, h_l = lstm_cell_step(
                 x, h[l], c[l], layer["W"], layer["b"], config.forget_bias,
                 compute_dtype=compute_dtype, interpret=interpret,
+                c_out_dtype=compute_dtype,
             )
             new_c.append(c_l)
             new_h.append(h_l)
