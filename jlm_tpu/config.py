@@ -98,6 +98,10 @@ class Config:
     # (≤ max_kana_len per batch-size bucket, amortized by the persistent
     # compile cache).  Raise to 4 to bound compile count on cold caches.
     t_bucket_multiple: int = 1
+    # Decode-scan unroll factor (jax.lax.scan unroll=): >1 lets XLA fuse
+    # glue ops across adjacent frames (fewer loop-boundary layout breaks).
+    # A/B lever for the ~0.9 ms/frame in-scan glue (DECODE_ABLATION.md).
+    scan_unroll: int = 1
     # Policy when a frame has more nodes than max_nodes_per_frame.  The
     # reference's lattices are uncapped Python lists (SURVEY.md §4.5), so a
     # silent drop is a top-1 parity hazard against dense homophone frames:

@@ -658,13 +658,16 @@ def _decode_scan(
     )
     T_scan = T_max - seed_m
     carry = (score, cand_cache, c_cache, h_cache, final)
+    unroll = max(1, config.scan_unroll)
     if chain:
         carry = carry + (words_last,)
         (score, _, c_cache, h_cache, final, last_words), bp = jax.lax.scan(
-            step, carry, xs
+            step, carry, xs, unroll=unroll
         )
     else:
-        (score, _, c_cache, h_cache, final), bp = jax.lax.scan(step, carry, xs)
+        (score, _, c_cache, h_cache, final), bp = jax.lax.scan(
+            step, carry, xs, unroll=unroll
+        )
     bp_src, bp_p, bp_n = bp  # each [T_scan, S, B]
     bp_src_s = jnp.moveaxis(bp_src, 1, 0)  # [S, T_scan, B]
     bp_p_s = jnp.moveaxis(bp_p, 1, 0)

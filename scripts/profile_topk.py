@@ -52,8 +52,11 @@ def main():
     chars = sum(len(k) for k in stream)
 
     results = {}
-    for mode in ("argmax", "sort"):
-        cfg = base.replace(topk_mode=mode)
+    variants = [
+        ("argmax", 1), ("sort", 1), ("argmax", 2), ("argmax", 4),
+    ]
+    for mode, unroll in variants:
+        cfg = base.replace(topk_mode=mode, scan_unroll=unroll)
         eng = BeamDecoder(qp, lexicon, vocab, cfg, precision="default")
         eng.decode_stream(stream * args.reps, chunk_size=args.batch,
                           n_best=1)  # compile + warm
@@ -63,16 +66,17 @@ def main():
             res = eng.decode_stream(stream * args.reps,
                                     chunk_size=args.batch, n_best=1)
             dt = min(dt, (time.time() - t0) / args.reps)
-        results[mode] = (chars / dt, res)
-        log(f"topk_mode={mode}: {chars / dt:.1f} chars/s "
+        results[(mode, unroll)] = (chars / dt, res)
+        log(f"topk={mode} unroll={unroll}: {chars / dt:.1f} chars/s "
             f"({1e3 * dt:.1f} ms/chunk)")
 
-    # parity between modes must be EXACT (identical tie rule)
-    r_a, r_s = results["argmax"][1], results["sort"][1]
-    same = sum(a[0].segments == b[0].segments for a, b in zip(r_a, r_s))
-    log(f"path identity argmax vs sort: {same}/{len(r_a)}")
-    assert same == len(r_a)
-    print({m: round(v[0], 1) for m, v in results.items()})
+    # parity between variants must be EXACT (identical tie rule/math)
+    ref = results[("sort", 1)][1]
+    for key, (_, res) in results.items():
+        same = sum(a[0].segments == b[0].segments for a, b in zip(res, ref))
+        log(f"path identity {key} vs sort: {same}/{len(ref)}")
+        assert same == len(ref), key
+    print({f"{m}_u{u}": round(v[0], 1) for (m, u), v in results.items()})
 
 
 if __name__ == "__main__":
