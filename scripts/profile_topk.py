@@ -25,6 +25,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--reps", type=int, default=6)
+    ap.add_argument("--vocab", type=int, default=50_000)
+    ap.add_argument("--hidden", type=int, default=512)
     args = ap.parse_args()
 
     import jax
@@ -41,7 +43,8 @@ def main():
     from jlm_tpu.ops.quant import quantize_params
 
     base = Config(
-        vocab_size=50_000, embed_size=256, hidden_size=512, num_layers=1,
+        vocab_size=args.vocab, embed_size=min(256, args.hidden),
+        hidden_size=args.hidden, num_layers=1,
         beam_width=10, n_best_max=1, seed=0,
     )
     vocab = build_vocab(generate_corpus(2000, seed=1234), base.vocab_size)
