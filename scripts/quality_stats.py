@@ -42,7 +42,13 @@ def main():
     ap.add_argument("--tests", type=int, default=1000)
     ap.add_argument("--seeds", type=int, nargs="+", default=[3, 4, 5])
     ap.add_argument("--epochs", type=int, default=25)
+    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--fused-ce", action="store_true")
     ap.add_argument("--out", default="QUALITY.json")
+    ap.add_argument("--tag", default="config5_stats",
+                    help="report key in QUALITY.json (recipe A/Bs)")
     ap.add_argument("--exp-root", default="exp/quality_stats")
     ap.add_argument("--skip-baselines", action="store_true")
     args = ap.parse_args()
@@ -109,9 +115,16 @@ def main():
     cfg5 = Config(
         vocab_size=V, embed_size=256, hidden_size=512, num_layers=2,
         head="dsoftmax", dsoftmax=default_dsoftmax_blocks(V, 512),
-        epochs=args.epochs, batch_size=32, num_steps=32,
-        learning_rate=2e-3, lr_decay_start_epoch=max(2, args.epochs - 10),
+        epochs=args.epochs, batch_size=args.batch_size, num_steps=32,
+        learning_rate=args.lr,
+        lr_decay_start_epoch=max(2, args.epochs - 10),
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+        fused_ce=args.fused_ce,
     )
+    stats["recipe"] = {
+        "batch_size": args.batch_size, "lr": args.lr, "bf16": args.bf16,
+        "fused_ce": args.fused_ce,
+    }
 
     per_seed = []
     for seed in args.seeds:
@@ -163,10 +176,10 @@ def main():
     if os.path.exists(args.out):
         with open(args.out) as f:
             report = json.load(f)
-    report["config5_stats"] = stats
+    report[args.tag] = stats
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
-    print(json.dumps({"config5_stats": {
+    print(json.dumps({args.tag: {
         k: v for k, v in stats.items()
         if k.endswith(("_mean", "_sd")) or k == "claims"
     }}))
