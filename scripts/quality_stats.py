@@ -44,6 +44,7 @@ def main():
     ap.add_argument("--epochs", type=int, default=25)
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--lr-decay-start", type=int, default=4)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--fused-ce", action="store_true")
     ap.add_argument("--out", default="QUALITY.json")
@@ -117,13 +118,13 @@ def main():
         head="dsoftmax", dsoftmax=default_dsoftmax_blocks(V, 512),
         epochs=args.epochs, batch_size=args.batch_size, num_steps=32,
         learning_rate=args.lr,
-        lr_decay_start_epoch=max(2, args.epochs - 10),
+        lr_decay_start_epoch=args.lr_decay_start,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         fused_ce=args.fused_ce,
     )
     stats["recipe"] = {
         "batch_size": args.batch_size, "lr": args.lr, "bf16": args.bf16,
-        "fused_ce": args.fused_ce,
+        "fused_ce": args.fused_ce, "lr_decay_start": args.lr_decay_start,
     }
 
     per_seed = []
