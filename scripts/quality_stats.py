@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--tag", default="config5_stats",
                     help="report key in QUALITY.json (recipe A/Bs)")
     ap.add_argument("--exp-root", default="exp/quality_stats")
+    ap.add_argument("--save-data", default=None,
+                    help="also save the (vocab, splits) dataset dir — the "
+                         "bench_all --data5 companion for --exp5 rows")
     ap.add_argument("--skip-baselines", action="store_true")
     args = ap.parse_args()
 
@@ -81,9 +84,14 @@ def main():
     vocab = build_vocab(corpus, 100_000)
     lexicon = Lexicon.from_vocab(vocab)
     ids = encode_corpus(corpus, vocab)
-    train_ids, dev_ids, _ = split_corpus(ids)
+    train_ids, dev_ids, test_ids = split_corpus(ids)
     log(f"corpus {args.sentences} sentences, real vocab {len(vocab)}, "
         f"tests {len(tests)}")
+    if args.save_data:
+        from jlm_tpu.data.io import save_dataset
+
+        save_dataset(args.save_data, vocab, train_ids, dev_ids, test_ids)
+        log(f"dataset saved to {args.save_data}")
 
     V = 100_000  # config-5 padded vocab: the model pays the full head cost
     stats = {
