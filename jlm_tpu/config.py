@@ -102,6 +102,11 @@ class Config:
     # glue ops across adjacent frames (fewer loop-boundary layout breaks).
     # A/B lever for the ~0.9 ms/frame in-scan glue (DECODE_ABLATION.md).
     scan_unroll: int = 1
+    # Survivor-state gather implementation: "take" = take_along_axis
+    # (XLA dynamic-gather); "onehot" = 0/1-matrix einsum on the MXU
+    # (selection by matmul is exact; TPU gathers serialize on sublanes).
+    # A/B lever for the scan-skeleton share of the frame.
+    gather_mode: str = "take"
     # Policy when a frame has more nodes than max_nodes_per_frame.  The
     # reference's lattices are uncapped Python lists (SURVEY.md §4.5), so a
     # silent drop is a top-1 parity hazard against dense homophone frames:

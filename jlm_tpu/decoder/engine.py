@@ -604,14 +604,34 @@ def _decode_scan(
         src_pos = jnp.take_along_axis(starts_t, sel_n, axis=1)  # [S, B]
         new_words = jnp.take_along_axis(words_t, sel_n, axis=1)  # [S, B]
 
-        # Gather surviving LSTM states with ONE flat (ring*B + path) index.
-        flat = ((src_pos & (R - 1)) * B + sel_p)[:, :, None, None]  # [S, B, 1, 1]
-        csel = jnp.take_along_axis(
-            c_cache.reshape(S, R * B, L, H), flat, axis=1
-        )
-        hsel = jnp.take_along_axis(
-            h_cache.reshape(S, R * B, L, H), flat, axis=1
-        )
+        # Gather surviving LSTM states: ONE flat (ring*B + path) index,
+        # either as a dynamic gather or as an exact 0/1 selection matmul
+        # on the MXU (config.gather_mode — TPU gathers serialize while a
+        # [B, R·B]x[R·B, L·H] einsum is one MXU pass per sentence).
+        flat2 = (src_pos & (R - 1)) * B + sel_p  # [S, B]
+        if config.gather_mode == "onehot":
+            sel1h = (
+                flat2[:, :, None]
+                == jnp.arange(R * B, dtype=jnp.int32)[None, None, :]
+            ).astype(cache_dtype)  # [S, B, R*B]
+            csel = jnp.einsum(
+                "sbr,srx->sbx", sel1h,
+                c_cache.reshape(S, R * B, L * H),
+                preferred_element_type=jnp.float32,
+            ).astype(cache_dtype).reshape(S, B, L, H)
+            hsel = jnp.einsum(
+                "sbr,srx->sbx", sel1h,
+                h_cache.reshape(S, R * B, L * H),
+                preferred_element_type=jnp.float32,
+            ).astype(cache_dtype).reshape(S, B, L, H)
+        else:
+            flat = flat2[:, :, None, None]  # [S, B, 1, 1]
+            csel = jnp.take_along_axis(
+                c_cache.reshape(S, R * B, L, H), flat, axis=1
+            )
+            hsel = jnp.take_along_axis(
+                h_cache.reshape(S, R * B, L, H), flat, axis=1
+            )
 
         # One batched LM forward over all S·B beam rows.  States pass in
         # the CACHE dtype (bf16 in speed mode): the forward casts to its

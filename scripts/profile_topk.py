@@ -56,10 +56,13 @@ def main():
 
     results = {}
     variants = [
-        ("argmax", 1), ("sort", 1), ("argmax", 2), ("argmax", 4),
+        ("argmax", 1, "take"), ("sort", 1, "take"), ("argmax", 2, "take"),
+        ("argmax", 4, "take"), ("argmax", 1, "onehot"),
+        ("argmax", 2, "onehot"),
     ]
-    for mode, unroll in variants:
-        cfg = base.replace(topk_mode=mode, scan_unroll=unroll)
+    for mode, unroll, gather in variants:
+        cfg = base.replace(topk_mode=mode, scan_unroll=unroll,
+                           gather_mode=gather)
         eng = BeamDecoder(qp, lexicon, vocab, cfg, precision="default")
         eng.decode_stream(stream * args.reps, chunk_size=args.batch,
                           n_best=1)  # compile + warm
@@ -69,17 +72,18 @@ def main():
             res = eng.decode_stream(stream * args.reps,
                                     chunk_size=args.batch, n_best=1)
             dt = min(dt, (time.time() - t0) / args.reps)
-        results[(mode, unroll)] = (chars / dt, res)
-        log(f"topk={mode} unroll={unroll}: {chars / dt:.1f} chars/s "
-            f"({1e3 * dt:.1f} ms/chunk)")
+        results[(mode, unroll, gather)] = (chars / dt, res)
+        log(f"topk={mode} unroll={unroll} gather={gather}: "
+            f"{chars / dt:.1f} chars/s ({1e3 * dt:.1f} ms/chunk)")
 
     # parity between variants must be EXACT (identical tie rule/math)
-    ref = results[("sort", 1)][1]
+    ref = results[("sort", 1, "take")][1]
     for key, (_, res) in results.items():
         same = sum(a[0].segments == b[0].segments for a, b in zip(res, ref))
         log(f"path identity {key} vs sort: {same}/{len(ref)}")
         assert same == len(ref), key
-    print({f"{m}_u{u}": round(v[0], 1) for (m, u), v in results.items()})
+    print({f"{m}_u{u}_{g}": round(v[0], 1)
+           for (m, u, g), v in results.items()})
 
 
 if __name__ == "__main__":
