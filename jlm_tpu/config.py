@@ -121,6 +121,13 @@ class Config:
     learning_rate: float = 1e-3
     lr_decay: float = 0.8       # multiplicative decay per epoch after decay_start
     lr_decay_start_epoch: int = 4
+    # >0: PPL-GATED decay — hold full lr until dev PPL first drops below
+    # this gate, then decay from the next epoch (overrides the epoch
+    # rule).  Tasks with a long initial plateau (the topic-conditioned
+    # corpus sits at unigram PPL ~59 for a seed-dependent number of
+    # epochs) are seed-lotteries under fixed early decay: late escapers
+    # anneal before learning anything (measured round 5).
+    lr_decay_gate_ppl: float = 0.0
     max_grad_norm: float = 5.0
     epochs: int = 8
     sampled_softmax_samples: int = 0  # >0 => sampled-softmax training loss

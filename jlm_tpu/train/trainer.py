@@ -56,9 +56,19 @@ def cast_floats(tree: Any, dtype) -> Any:
     return jax.tree.map(cast, tree)
 
 
-def epoch_lr(config: Config, epoch: int) -> float:
-    """lr · decay^max(0, epoch − start): the reference's decay schedule."""
-    k = max(0, epoch - config.lr_decay_start_epoch)
+def epoch_lr(config: Config, epoch: int, decay_start=None) -> float:
+    """lr · decay^max(0, epoch − start): the reference's decay schedule.
+
+    ``decay_start`` overrides ``config.lr_decay_start_epoch`` — the
+    PPL-GATED schedule (``config.lr_decay_gate_ppl``) passes the epoch at
+    which dev PPL first cleared the gate, so decay begins only after the
+    run escapes its initial plateau (round 5: the topic-conditioned task
+    has a long unigram plateau whose escape epoch varies by seed; fixed
+    early decay traps late escapers at PPL ~15 while the escaped runs
+    anneal to ~12.3)."""
+    start = (config.lr_decay_start_epoch if decay_start is None
+             else decay_start)
+    k = max(0, epoch - start)
     return config.learning_rate * (config.lr_decay ** k)
 
 
@@ -284,10 +294,11 @@ class Trainer:
         return epoch + 1
 
     # --- loops ---------------------------------------------------------
-    def run_epoch(self, ids: np.ndarray, epoch: int, rng: jax.Array) -> float:
+    def run_epoch(self, ids: np.ndarray, epoch: int, rng: jax.Array,
+                  decay_start=None) -> float:
         cfg = self.config
         state = initial_state(cfg, cfg.batch_size)
-        lr = jnp.float32(epoch_lr(cfg, epoch))
+        lr = jnp.float32(epoch_lr(cfg, epoch, decay_start))
         state = jax.tree.map(lambda s: self._feed(np.asarray(s), 1), state)
         # Loss accumulates ON DEVICE and is fetched ONCE per epoch:
         # `float(loss)` per step forces a sync device->host round trip,
@@ -354,18 +365,39 @@ def train_lm(
             print(f"resumed {exp_dir} at epoch {start_epoch}")
     rng = jax.random.key(config.seed)
     history: List[Dict[str, float]] = []
+    # PPL-gated decay: hold full lr until dev PPL clears the gate, then
+    # anneal from the NEXT epoch.  On resume, recover the recorded gate
+    # epoch from the experiment log.
+    gate = float(getattr(config, "lr_decay_gate_ppl", 0.0) or 0.0)
+    decay_start = None
+    if gate > 0:
+        decay_start = 10 ** 9
+        if resume and exp_dir:
+            log_path = os.path.join(exp_dir, "log.jsonl")
+            if os.path.exists(log_path):
+                import json as _json
+                with open(log_path) as f:
+                    for line in f:
+                        r = _json.loads(line)
+                        if "decay_start" in r:
+                            decay_start = min(decay_start,
+                                              int(r["decay_start"]))
     for epoch in range(start_epoch, config.epochs):
         rng, sub = jax.random.split(rng)
         t0 = time.time()
-        train_ppl = trainer.run_epoch(train_ids, epoch, sub)
+        train_ppl = trainer.run_epoch(train_ids, epoch, sub, decay_start)
         dev_ppl = trainer.evaluate_ppl(dev_ids)
         rec = {
             "epoch": epoch,
-            "lr": epoch_lr(config, epoch),
+            "lr": epoch_lr(config, epoch, decay_start),
             "train_ppl": train_ppl,
             "dev_ppl": dev_ppl,
             "seconds": time.time() - t0,
         }
+        if gate > 0 and dev_ppl < gate and epoch + 1 < decay_start:
+            decay_start = epoch + 1
+        if gate > 0 and decay_start < 10 ** 9:
+            rec["decay_start"] = decay_start
         history.append(rec)
         if log and jax.process_index() == 0:
             print(

@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--lr-decay-start", type=int, default=4)
+    ap.add_argument("--lr-decay-gate", type=float, default=0.0,
+                    help=">0: hold full lr until dev PPL clears this gate "
+                         "(robust to the seed-dependent plateau-escape "
+                         "epoch), then decay per epoch")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--fused-ce", action="store_true")
     ap.add_argument("--out", default="QUALITY.json")
@@ -127,12 +131,14 @@ def main():
         epochs=args.epochs, batch_size=args.batch_size, num_steps=32,
         learning_rate=args.lr,
         lr_decay_start_epoch=args.lr_decay_start,
+        lr_decay_gate_ppl=args.lr_decay_gate,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         fused_ce=args.fused_ce,
     )
     stats["recipe"] = {
         "batch_size": args.batch_size, "lr": args.lr, "bf16": args.bf16,
         "fused_ce": args.fused_ce, "lr_decay_start": args.lr_decay_start,
+        "lr_decay_gate_ppl": args.lr_decay_gate,
     }
 
     per_seed = []

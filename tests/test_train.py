@@ -244,3 +244,41 @@ def test_trainer_with_fused_ce_improves(encoded):
     rng = jax.random.key(0)
     tr.run_epoch(train[:2000], 0, rng)
     assert tr.evaluate_ppl(dev[:400]) < ppl0 * 0.9
+
+
+def test_lr_decay_gate(encoded, tmp_path):
+    """PPL-gated decay: full lr until dev PPL clears the gate, then the
+    epoch-indexed decay — robust to the seed-dependent plateau-escape
+    epoch (round-5 quality-variance study)."""
+    import json
+    import os
+
+    from jlm_tpu.config import Config
+    from jlm_tpu.train.trainer import train_lm
+
+    train, dev, _ = encoded
+    cfg = Config(vocab_size=256, embed_size=16, hidden_size=32, batch_size=4,
+                 num_steps=8, learning_rate=5e-3, lr_decay=0.5, epochs=6,
+                 lr_decay_start_epoch=0, lr_decay_gate_ppl=1e9, seed=5)
+    # gate=1e9 clears at epoch 0 => decay from epoch 1 regardless of the
+    # (epoch-rule) start at 0
+    exp = str(tmp_path / "gate")
+    _, hist = train_lm(cfg, train[:800], dev[:200], exp_dir=exp, log=False)
+    # gate clears at epoch 0 -> decay_start = 1 -> epoch 1 is the decay
+    # ORIGIN (k=0, full lr), epoch 2 the first decayed epoch
+    assert hist[0]["lr"] == 5e-3
+    assert hist[1]["lr"] == 5e-3
+    assert abs(hist[2]["lr"] - 2.5e-3) < 1e-9
+    assert "decay_start" in hist[0] or "decay_start" in hist[1]
+
+    # a gate that never clears keeps full lr every epoch
+    cfg2 = cfg.replace(lr_decay_gate_ppl=1e-9)
+    _, hist2 = train_lm(cfg2, train[:800], dev[:200], log=False)
+    assert all(r["lr"] == 5e-3 for r in hist2)
+
+    # resume recovers the recorded gate epoch from the log
+    cfg3 = cfg.replace(epochs=8)
+    _, hist3 = train_lm(cfg3, train[:800], dev[:200], exp_dir=exp,
+                        log=False, resume=True)
+    # resumes at epoch 6 with recovered decay_start=1: lr = base * 0.5^5
+    assert abs(hist3[0]["lr"] - 5e-3 * 0.5 ** 5) < 1e-12
