@@ -14,6 +14,7 @@ device via :func:`jlm_tpu.models.lstm.forward_hidden`.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Dict, List, Optional, Tuple
 
