@@ -351,12 +351,17 @@ def train_lm(
     log: bool = True,
     resume: bool = False,
     mesh: Optional[Any] = None,
+    save_every: int = 1,
 ) -> Tuple[Any, List[Dict[str, float]]]:
     """Full training run; returns (params, per-epoch history).
 
     ``resume=True`` restores params + optimizer state + epoch counter from
     ``exp_dir`` and continues (a crashed run re-enters at the next epoch).
     ``mesh`` switches the step to the sharded SPMD program (same loop).
+    ``save_every``: checkpoint every N epochs (plus always the final one)
+    — at flagship dims a full state save fetches ~570 MB of params +
+    optimizer moments, which through a remote host link can cost 10× the
+    epoch's compute (measured round 5: ~45 s save vs ~4 s epoch).
     """
     trainer = Trainer(config, mesh=mesh)
     start_epoch = 0
@@ -409,5 +414,8 @@ def train_lm(
         if exp_dir:
             if jax.process_index() == 0:
                 append_log(exp_dir, rec)
-            trainer.save_state(exp_dir, epoch)
+            if (epoch + 1) % max(1, save_every) == 0 or (
+                epoch + 1 == config.epochs
+            ):
+                trainer.save_state(exp_dir, epoch)
     return trainer.params, history

@@ -148,7 +148,7 @@ def main():
         resume = os.path.exists(os.path.join(exp_dir, "ckpt-latest.npz"))
         t0 = time.time()
         params, hist = train_lm(cfg, train_ids, dev_ids, exp_dir=exp_dir,
-                                log=False, resume=resume)
+                                log=False, resume=resume, save_every=10)
         dev_ppl = hist[-1]["dev_ppl"] if hist else float("nan")
         log(f"seed {seed}: trained in {time.time()-t0:.0f}s, "
             f"dev_ppl={dev_ppl:.2f}")
