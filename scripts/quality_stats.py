@@ -141,6 +141,12 @@ def main():
         "lr_decay_gate_ppl": args.lr_decay_gate,
     }
 
+    # Model selection set: DISJOINT from the test set (different generator
+    # seed) — the shipping checkpoint is picked by dev-set conversion
+    # accuracy, the honest response to the measured seed lottery; the test
+    # numbers of the SELECTED model are what BENCH_DETAIL records.
+    dev_tests = generate_test_set_ctx(300, seed=31337)
+
     per_seed = []
     for seed in args.seeds:
         cfg = cfg5.replace(seed=seed)
@@ -152,7 +158,8 @@ def main():
         dev_ppl = hist[-1]["dev_ppl"] if hist else float("nan")
         log(f"seed {seed}: trained in {time.time()-t0:.0f}s, "
             f"dev_ppl={dev_ppl:.2f}")
-        row = {"seed": seed, "dev_ppl": round(float(dev_ppl), 3)}
+        row = {"seed": seed, "dev_ppl": round(float(dev_ppl), 3),
+               "exp_dir": exp_dir}
         for bw, name in ((10, "beam10"), (1, "greedy")):
             dcfg = cfg.replace(beam_width=bw, n_best_max=1)
             eng = BeamDecoder(params, lexicon, vocab, dcfg,
@@ -163,11 +170,22 @@ def main():
                 "top1_acc": round(rep.sentence_accuracy, 4),
                 "char_acc": round(rep.char_accuracy, 4),
             }
+            if name == "beam10":
+                rep_d = evaluate_conversion(eng, dev_tests)
+                row["beam10_devsel_acc"] = round(rep_d.sentence_accuracy, 4)
             log(f"seed {seed} {name}: {rep.summary()} "
                 f"({time.time()-t0:.0f}s)")
         per_seed.append(row)
 
     stats["per_seed"] = per_seed
+    best = max(per_seed, key=lambda r: r["beam10_devsel_acc"])
+    stats["selected"] = {
+        "seed": best["seed"],
+        "exp_dir": best["exp_dir"],
+        "rule": "argmax dev-set (seed-31337, disjoint) beam-10 accuracy",
+        "beam10_devsel_acc": best["beam10_devsel_acc"],
+        "beam10_test_acc": best["beam10"]["top1_acc"],
+    }
     for name in ("beam10", "greedy"):
         accs = np.asarray([r[name]["top1_acc"] for r in per_seed])
         chars = np.asarray([r[name]["char_acc"] for r in per_seed])
