@@ -377,7 +377,11 @@ def train_lm(
     gate = float(getattr(config, "lr_decay_gate_ppl", 0.0) or 0.0)
     decay_start = None
     if gate > 0:
-        decay_start = 10 ** 9
+        # lr_decay_start_epoch acts as the FALLBACK (latest) start when the
+        # gate is enabled: hold full lr until dev PPL clears the gate, but
+        # never past the fallback epoch (a run that never escapes must
+        # still anneal rather than thrash at full lr forever).
+        decay_start = config.lr_decay_start_epoch
         if resume and exp_dir:
             log_path = os.path.join(exp_dir, "log.jsonl")
             if os.path.exists(log_path):
@@ -402,7 +406,7 @@ def train_lm(
         }
         if gate > 0 and dev_ppl < gate and epoch + 1 < decay_start:
             decay_start = epoch + 1
-        if gate > 0 and decay_start < 10 ** 9:
+        if gate > 0:
             rec["decay_start"] = decay_start
         history.append(rec)
         if log and jax.process_index() == 0:

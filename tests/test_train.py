@@ -259,9 +259,9 @@ def test_lr_decay_gate(encoded, tmp_path):
     train, dev, _ = encoded
     cfg = Config(vocab_size=256, embed_size=16, hidden_size=32, batch_size=4,
                  num_steps=8, learning_rate=5e-3, lr_decay=0.5, epochs=6,
-                 lr_decay_start_epoch=0, lr_decay_gate_ppl=1e9, seed=5)
-    # gate=1e9 clears at epoch 0 => decay from epoch 1 regardless of the
-    # (epoch-rule) start at 0
+                 lr_decay_start_epoch=30, lr_decay_gate_ppl=1e9, seed=5)
+    # gate=1e9 clears at epoch 0 => decay from epoch 1 (the epoch rule at
+    # 30 is only the FALLBACK latest start when the gate is on)
     exp = str(tmp_path / "gate")
     _, hist = train_lm(cfg, train[:800], dev[:200], exp_dir=exp, log=False)
     # gate clears at epoch 0 -> decay_start = 1 -> epoch 1 is the decay
@@ -271,10 +271,11 @@ def test_lr_decay_gate(encoded, tmp_path):
     assert abs(hist[2]["lr"] - 2.5e-3) < 1e-9
     assert "decay_start" in hist[0] or "decay_start" in hist[1]
 
-    # a gate that never clears keeps full lr every epoch
-    cfg2 = cfg.replace(lr_decay_gate_ppl=1e-9)
+    # a gate that never clears holds full lr until the FALLBACK epoch
+    cfg2 = cfg.replace(lr_decay_gate_ppl=1e-9, lr_decay_start_epoch=4)
     _, hist2 = train_lm(cfg2, train[:800], dev[:200], log=False)
-    assert all(r["lr"] == 5e-3 for r in hist2)
+    assert all(r["lr"] == 5e-3 for r in hist2[:5])
+    assert abs(hist2[5]["lr"] - 2.5e-3) < 1e-9
 
     # resume recovers the recorded gate epoch from the log
     cfg3 = cfg.replace(epochs=8)
