@@ -100,13 +100,15 @@ class Config:
     t_bucket_multiple: int = 1
     # Decode-scan unroll factor (jax.lax.scan unroll=): >1 lets XLA fuse
     # glue ops across adjacent frames (fewer loop-boundary layout breaks).
-    # A/B lever for the ~0.9 ms/frame in-scan glue (DECODE_ABLATION.md).
-    scan_unroll: int = 1
+    # Measured round 5 (one v5e, S=512 int8-MXU engine, interleaved A/B):
+    # unroll 2 + onehot gather 86.1k vs 76.9k chars/s for the r4
+    # structure (+12%); path identity 3072/3072 across all variants.
+    scan_unroll: int = 2
     # Survivor-state gather implementation: "take" = take_along_axis
     # (XLA dynamic-gather); "onehot" = 0/1-matrix einsum on the MXU
     # (selection by matmul is exact; TPU gathers serialize on sublanes).
-    # A/B lever for the scan-skeleton share of the frame.
-    gather_mode: str = "take"
+    # onehot measured +6% end-to-end on its own (see scan_unroll note).
+    gather_mode: str = "onehot"
     # Policy when a frame has more nodes than max_nodes_per_frame.  The
     # reference's lattices are uncapped Python lists (SURVEY.md §4.5), so a
     # silent drop is a top-1 parity hazard against dense homophone frames:
