@@ -471,6 +471,13 @@ def _decode_scan(
     NEG = jnp.float32(-1e30)
 
     word, start, cidx, mask, look_w, look_m = _unpack_lattice(packed, config)
+    # gather_mode="onehot": BOTH per-frame selections run as exact
+    # 0/1-matrix matmuls on the MXU instead of XLA dynamic gathers (round
+    # 5: the flat ext gather alone microbenched 3.85 ms/iter chained vs
+    # 0.51 ms as an onehot einsum at the S=512 shape).  The candidate
+    # cache then stores [S, R, C, B] so the (ring, cand) onehot contracts
+    # its leading R·C axis directly.
+    onehot_sel = config.gather_mode == "onehot"
 
     # Per-position payload for the forward (default: the candidate ids).
     prepare = getattr(forward_fn, "prepare", None)
@@ -521,7 +528,11 @@ def _decode_scan(
         # (masked extensions aside, starts always satisfy
         # pos - start <= max_word_len < R).
         score = jnp.full((S, R, B), NEG).at[:, 0].set(score0)
-        cand_cache = jnp.zeros((S, R, B, C)).at[:, 0].set(cand0)
+        cand_cache = (
+            jnp.zeros((S, R, C, B)).at[:, 0].set(jnp.swapaxes(cand0, 1, 2))
+            if onehot_sel else
+            jnp.zeros((S, R, B, C)).at[:, 0].set(cand0)
+        )
         c_cache = jnp.zeros((S, R, B, L, H), cache_dtype).at[:, 0].set(
             state_to_cache(c1).astype(cache_dtype)
         )
@@ -555,7 +566,12 @@ def _decode_scan(
             seed["score"][:, :, :, None] > NEG / 2, cand_seed, NEG
         )
         score = jnp.full((S, R, B), NEG).at[:, 1:M + 1].set(seed["score"])
-        cand_cache = jnp.zeros((S, R, B, C)).at[:, 1:M + 1].set(cand_seed)
+        cand_cache = (
+            jnp.zeros((S, R, C, B)).at[:, 1:M + 1].set(
+                jnp.swapaxes(cand_seed, 2, 3))
+            if onehot_sel else
+            jnp.zeros((S, R, B, C)).at[:, 1:M + 1].set(cand_seed)
+        )
         c_cache = jnp.zeros((S, R, B, L, H), cache_dtype).at[:, 1:M + 1].set(
             seed["c"].astype(cache_dtype)
         )
@@ -575,21 +591,52 @@ def _decode_scan(
         ring_t = starts_t & (R - 1)  # ring row of each node's start
 
         # Extension scores [S, N, B]: cached logp of each node's word from
-        # each path of the beam at the node's start position.  ONE fused
-        # flat gather of [S, N·B] elements — composing two take_along_axis
-        # calls would materialize an [S, N, B, C] (MBs) intermediate per
-        # step only to keep one C-column of it.
-        flat_idx = (
-            ring_t[:, :, None] * (B * C)
-            + jnp.arange(B, dtype=jnp.int32)[None, None, :] * C
-            + cidx_t[:, :, None]
-        )  # [S, N, B]
-        ext_logp = jnp.take_along_axis(
-            cand_cache.reshape(S, R * B * C),
-            flat_idx.reshape(S, N * B),
-            axis=1,
-        ).reshape(S, N, B)
-        ext = jnp.take_along_axis(score, ring_t[:, :, None], axis=1) + ext_logp
+        # each path of the beam at the node's start position.
+        if onehot_sel:
+            # exact 0/1 selection matmuls (XLA's dynamic gather at this
+            # shape microbenched 7.5x slower in-scan; selection by matmul
+            # is bit-exact — each output sums ONE nonzero product)
+            rc = ring_t * C + cidx_t  # [S, N]
+            oh = (
+                rc[:, :, None]
+                == jnp.arange(R * C, dtype=jnp.int32)[None, None, :]
+            ).astype(jnp.float32)  # [S, N, R·C]
+            # HIGHEST: TPU's default fp32 matmul truncates operands to
+            # bf16 — the 0/1 selection must return the cached fp32 value
+            # bit-faithfully (CPU is exact either way, which is why only
+            # the on-chip A/B caught it)
+            ext_logp = jnp.einsum(
+                "snr,srb->snb", oh, cand_cache.reshape(S, R * C, B),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            oh_r = (
+                ring_t[:, :, None]
+                == jnp.arange(R, dtype=jnp.int32)[None, None, :]
+            ).astype(jnp.float32)  # [S, N, R]
+            sc_n = jnp.einsum(
+                "snr,srb->snb", oh_r, score,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            ext = sc_n + ext_logp
+        else:
+            # ONE fused flat gather of [S, N·B] elements — composing two
+            # take_along_axis calls would materialize an [S, N, B, C]
+            # (MBs) intermediate per step only to keep one C-column of it.
+            flat_idx = (
+                ring_t[:, :, None] * (B * C)
+                + jnp.arange(B, dtype=jnp.int32)[None, None, :] * C
+                + cidx_t[:, :, None]
+            )  # [S, N, B]
+            ext_logp = jnp.take_along_axis(
+                cand_cache.reshape(S, R * B * C),
+                flat_idx.reshape(S, N * B),
+                axis=1,
+            ).reshape(S, N, B)
+            ext = jnp.take_along_axis(
+                score, ring_t[:, :, None], axis=1
+            ) + ext_logp
         ext = jnp.where(mask_t[:, :, None], ext, NEG)
 
         # Per-sentence stable top-k over the flat (node-major, path-minor)
@@ -614,15 +661,21 @@ def _decode_scan(
                 flat2[:, :, None]
                 == jnp.arange(R * B, dtype=jnp.int32)[None, None, :]
             ).astype(cache_dtype)  # [S, B, R*B]
+            # HIGHEST for the same reason as the ext selection: in fp32
+            # parity mode the cache is fp32 and the default TPU matmul
+            # would truncate it to bf16 (bf16 speed mode is exact either
+            # way — the cached values are already bf16)
             csel = jnp.einsum(
                 "sbr,srx->sbx", sel1h,
                 c_cache.reshape(S, R * B, L * H),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             ).astype(cache_dtype).reshape(S, B, L, H)
             hsel = jnp.einsum(
                 "sbr,srx->sbx", sel1h,
                 h_cache.reshape(S, R * B, L * H),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             ).astype(cache_dtype).reshape(S, B, L, H)
         else:
             flat = flat2[:, :, None, None]  # [S, B, 1, 1]
@@ -655,7 +708,9 @@ def _decode_scan(
 
         ring_w = pos & (R - 1)
         score = score.at[:, ring_w].set(top_scores)
-        cand_cache = cand_cache.at[:, ring_w].set(cand_new)
+        cand_cache = cand_cache.at[:, ring_w].set(
+            jnp.swapaxes(cand_new, 1, 2) if onehot_sel else cand_new
+        )
         c_cache = c_cache.at[:, ring_w].set(
             state_to_cache(c_new).astype(cache_dtype)
         )
