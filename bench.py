@@ -115,10 +115,12 @@ def main():
     # Warm every length-sorted chunk shape once (distinct T buckets compile
     # separately) so the timed passes measure steady state, not compiles.
     engine.decode_stream(stream * reps, chunk_size=512, n_best=1)
-    # best-of-2 passes: the tunneled relay occasionally degrades a whole
-    # pass by >5x (observed in the round-4 sweeps on identical programs)
+    # best-of-4 passes: the tunneled relay's WINDOW varies the same
+    # program's wall time by up to ~20% (and occasionally >5x); each pass
+    # is under a second, so extra passes are cheap insurance that the
+    # recorded number reflects the engine rather than the link.
     tpu_dt = float("inf")
-    for _ in range(2):
+    for _ in range(4):
         t0 = time.time()
         results = engine.decode_stream(stream * reps, chunk_size=512,
                                        n_best=1)
