@@ -100,10 +100,11 @@ class Config:
     t_bucket_multiple: int = 1
     # Decode-scan unroll factor (jax.lax.scan unroll=): >1 lets XLA fuse
     # glue ops across adjacent frames (fewer loop-boundary layout breaks).
-    # Measured round 5 (one v5e, S=512 int8-MXU engine, interleaved A/B):
-    # unroll 2 + onehot gather 86.1k vs 76.9k chars/s for the r4
-    # structure (+12%); path identity 3072/3072 across all variants.
-    scan_unroll: int = 2
+    # Measured round 5 (one v5e, S=512 int8-MXU engine, interleaved
+    # A/Bs; path identity exact in every variant): with the onehot
+    # selection structure, unroll 1/2/4 = 84.9/86.1/89.6k chars/s in one
+    # window — 4 is the sweet spot (typical chunks scan 8-14 frames).
+    scan_unroll: int = 4
     # Survivor-state gather implementation: "take" = take_along_axis
     # (XLA dynamic-gather); "onehot" = 0/1-matrix einsum on the MXU
     # (selection by matmul is exact; TPU gathers serialize on sublanes).
