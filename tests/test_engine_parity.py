@@ -250,3 +250,21 @@ def test_native_decode_matches_python_builder(tiny_params, tiny_config,
         assert [r.segments for r in rn] == [r.segments for r in rp]
         ro = oracle.decode(kana, 2)
         assert rn[0].segments == ro[0].segments
+
+
+def test_gather_modes_identical(tiny_params, tiny_config, lexicon, vocab):
+    """gather_mode 'take' and 'onehot' (the default) must produce
+    bit-identical paths and scores — selection by 0/1 matmul is exact
+    (einsums pinned to Precision.HIGHEST; the TPU default fp32 matmul
+    truncates operands to bf16, caught on-chip in round 5)."""
+    kanas = ["きょうはいいてんき", "あめがふる", "かみとかわ", "はしをみる"]
+    res = {}
+    for mode in ("take", "onehot"):
+        eng = BeamDecoder(tiny_params, lexicon, vocab,
+                          tiny_config.replace(gather_mode=mode),
+                          precision="highest")
+        res[mode] = eng.decode_batch(kanas, n_best=2)
+    for a, b in zip(res["take"], res["onehot"]):
+        assert [r.segments for r in a] == [r.segments for r in b]
+        for x, y in zip(a, b):
+            assert abs(x.score - y.score) < 1e-6
