@@ -104,9 +104,13 @@ def main():
     # int8_mxu=True is the config DEFAULT since round 4: no opt-in flags —
     # quantized weights + precision="default" IS the headline recipe.
     engine = BeamDecoder(qp, lexicon, vocab, config, precision="default")
-    # 512-lattice chunks: the tunneled host link costs ~30 ms per result
-    # fetch — at 128-lattice chunks that was ~half of steady-state time.
-    stream = (kanas * 11)[:512]
+    # 1024-lattice chunks (round 5): under the onehot-selection frame
+    # structure the r4 payload-pressure tradeoff flipped — S=1024 measured
+    # +16% over S=512 in an interleaved A/B (90.1k vs 105.0k; S=2048 is
+    # within noise of 1024).  The tunneled host link costs ~30 ms per
+    # result fetch, so big pipelined chunks amortize it either way.
+    CHUNK = 1024
+    stream = (kanas * ((CHUNK + 49) // 50))[:CHUNK]
     stream_chars = sum(len(k) for k in stream)
     t0 = time.time()
     results = engine.decode_batch(stream, n_best=1)
@@ -114,7 +118,7 @@ def main():
     reps = 12
     # Warm every length-sorted chunk shape once (distinct T buckets compile
     # separately) so the timed passes measure steady state, not compiles.
-    engine.decode_stream(stream * reps, chunk_size=512, n_best=1)
+    engine.decode_stream(stream * reps, chunk_size=CHUNK, n_best=1)
     # best-of-4 passes: the tunneled relay's WINDOW varies the same
     # program's wall time by up to ~20% (and occasionally >5x); each pass
     # is under a second, so extra passes are cheap insurance that the
@@ -122,7 +126,7 @@ def main():
     tpu_dt = float("inf")
     for _ in range(4):
         t0 = time.time()
-        results = engine.decode_stream(stream * reps, chunk_size=512,
+        results = engine.decode_stream(stream * reps, chunk_size=CHUNK,
                                        n_best=1)
         tpu_dt = min(tpu_dt, (time.time() - t0) / reps)
     value = stream_chars / tpu_dt
@@ -133,16 +137,16 @@ def main():
 
     # --- MFU accounting (BASELINE north star: kernels at speed-of-light) --
     B = config.beam_pad
-    S, H, E, V = 512, config.hidden_size, config.embed_size, config.vocab_size
+    S, H, E, V = CHUNK, config.hidden_size, config.embed_size, config.vocab_size
     # Scanned frames: reproduce the engine's own chunking — length-sorted
     # stream, 512-sentence chunks, each scanning t_bucket(max len in chunk)
     # frames (VERDICT r2 weak #6: hardcoded frame counts silently
     # mis-compute MFU when the batching strategy changes).
     sorted_lens = sorted(len(k) for k in stream * reps)
     total_frames = sum(
-        min(engine._t_bucket(max(sorted_lens[i:i + 512])),
+        min(engine._t_bucket(max(sorted_lens[i:i + CHUNK])),
             config.max_kana_len)
-        for i in range(0, len(sorted_lens), 512)
+        for i in range(0, len(sorted_lens), CHUNK)
     ) / reps  # per-rep frames across the sorted chunks
     lstm_fl = 2 * S * B * (E + H) * 4 * H
     head_fl = 2 * S * B * H * V
