@@ -104,12 +104,13 @@ def main():
     # int8_mxu=True is the config DEFAULT since round 4: no opt-in flags —
     # quantized weights + precision="default" IS the headline recipe.
     engine = BeamDecoder(qp, lexicon, vocab, config, precision="default")
-    # 1024-lattice chunks (round 5): under the onehot-selection frame
-    # structure the r4 payload-pressure tradeoff flipped — S=1024 measured
-    # +16% over S=512 in an interleaved A/B (90.1k vs 105.0k; S=2048 is
-    # within noise of 1024).  The tunneled host link costs ~30 ms per
-    # result fetch, so big pipelined chunks amortize it either way.
-    CHUNK = 1024
+    # 2048-lattice chunks (round 5): under the onehot-selection frame
+    # structure the r4 payload-pressure tradeoff flipped — interleaved
+    # same-window A/Bs measured S=1024 +16% over S=512 and S=2048 +5%
+    # over S=1024 (two independent windows).  The tunneled host link
+    # costs ~30 ms per result fetch, so big pipelined chunks amortize it
+    # either way.
+    CHUNK = 2048
     stream = (kanas * ((CHUNK + 49) // 50))[:CHUNK]
     stream_chars = sum(len(k) for k in stream)
     t0 = time.time()
